@@ -1,0 +1,190 @@
+"""MERGE INTO — copy-on-write upsert mirroring incremental re-index.
+
+Semantics = the reference's 3-way incremental diff
+(/root/reference/src/client/indexing/mod.rs:486-519):
+
+- source-only (repo, path)            -> INSERT            (files_added)
+- matched and commit differs          -> UPDATE            (files_updated;
+  physically delete-then-insert, like delete_by_file + re-store,
+  /root/reference/src/client/indexing/mod.rs:498-504)
+- matched and commit equal            -> NO-OP             (replay dedup —
+  the commit anti-join, /root/reference/src/git/walker.rs:102-105)
+- target-only, when the source is a full listing of its repos
+  (``delete_missing=True``)           -> DELETE            (files_removed)
+
+Physical plan (Spark-first, scales to 10^12 files):
+
+1. Manifest pruning: only target files whose (repo[, path]) min/max
+   stats can intersect the source keys are scanned at all.
+2. The candidate scan is joined to the source on (repo, path) — an
+   equi-join Catalyst executes broadcast (small delta, the common
+   incremental case) or sort-merge w/ AQE skew splitting (big delta).
+3. Only files that actually contain a matched-changed or deleted row
+   are rewritten (copy-on-write at file granularity); untouched files
+   carry over into the new snapshot by reference — the incremental
+   7-30x speedup the reference documents
+   (/root/reference/docs/adr/003-smart-indexing-with-auto-detection.md:83-94).
+4. One new snapshot commits the swap atomically; a replayed delta
+   produces zero changes and NO new snapshot (idempotent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tablefmt import Snapshot, Table
+
+KEY = ["repo", "path"]
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+@dataclass
+class MergeResult:
+    rows_inserted: int
+    rows_updated: int
+    rows_deleted: int
+    files_rewritten: int
+    files_added: int
+    snapshot_id: int | None  # None => no-op merge (no new snapshot)
+
+    @property
+    def counts(self) -> tuple[int, int, int]:
+        return (self.rows_inserted, self.rows_updated, self.rows_deleted)
+
+
+def merge_into(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    delete_missing: bool = False,
+    num_files: int | None = None,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> MergeResult:
+    """Merge ``source`` (repo, path, commit, lang, content) into table.
+
+    ``delete_missing=True`` treats the source as a complete listing of
+    every repo it mentions: target rows of those repos absent from the
+    source are deleted (WHEN NOT MATCHED BY SOURCE THEN DELETE) — the
+    reference's files_removed path.
+    """
+    source = source.select(*COLS)
+    expected_parent = table.current_snapshot_id
+
+    # -- prune target files by the source's repo set ------------------------
+    # repos in a delta are few (an incremental update touches one root);
+    # collecting them to the driver is metadata-sized.
+    src_repos = [r["repo"] for r in source.select("repo").distinct().collect()]
+    pred = [("repo", "in", src_repos)] if src_repos else None
+    candidates = table.files(pred=pred) if src_repos else []
+    candidate_paths = {e.path for e in candidates}
+
+    if source.isEmpty() and not delete_missing:
+        return MergeResult(0, 0, 0, 0, 0, None)
+
+    tgt = table.scan(spark, pred=pred, with_file_path=True) if candidates else None
+
+    src = source
+    if src.count() <= broadcast_threshold_rows:
+        src = F.broadcast(src)
+
+    if tgt is not None:
+        joined = tgt.alias("t").join(
+            src.alias("s"),
+            on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in KEY],
+            how="full_outer",
+        )
+        cls = (
+            F.when(F.col("t.path").isNull(), F.lit("insert"))
+            .when(F.col("s.path").isNull(), F.lit("missing"))
+            .when(F.col("t.commit") != F.col("s.commit"), F.lit("update"))
+            .otherwise(F.lit("noop"))
+        )
+        classified = joined.select(
+            cls.alias("_op"),
+            F.col("t._file").alias("_file"),
+            *[F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c) for c in COLS],
+        )
+    else:
+        classified = src.select(
+            F.lit("insert").alias("_op"),
+            F.lit(None).cast("string").alias("_file"),
+            *[F.col(c) for c in COLS],
+        )
+
+    classified = classified.persist()
+    try:
+        agg = {
+            r["_op"]: r["n"]
+            for r in classified.groupBy("_op").agg(F.count("*").alias("n")).collect()
+        }
+        n_insert = agg.get("insert", 0)
+        n_update = agg.get("update", 0)
+        n_delete = agg.get("missing", 0) if delete_missing else 0
+
+        if n_insert == 0 and n_update == 0 and n_delete == 0:
+            return MergeResult(0, 0, 0, 0, 0, None)  # replay => idempotent no-op
+
+        # files physically touched: contain an updated or (to-be-)deleted row
+        touch_ops = ["update"] + (["missing"] if delete_missing else [])
+        touched = {
+            r["_file"]
+            for r in classified.filter(F.col("_op").isin(touch_ops))
+            .select("_file")
+            .distinct()
+            .collect()
+            if r["_file"] is not None
+        }
+        touched_rel = {_rel_path(table, f) for f in touched}
+
+        # rows to write: survivors of touched files (minus deletes, with
+        # updated content) + inserts.  Untouched files are NOT read again.
+        if touched:
+            survivors = classified.filter(
+                F.col("_file").isNotNull()
+                & F.col("_file").isin(list(touched))
+                & (
+                    (F.col("_op") == "noop")
+                    | (F.col("_op") == "update")
+                    | ((F.col("_op") == "missing") & F.lit(not delete_missing))
+                )
+            ).select(*COLS)
+        else:
+            survivors = classified.filter(F.lit(False)).select(*COLS)
+        inserts = classified.filter(F.col("_op") == "insert").select(*COLS)
+        to_write = survivors.unionByName(inserts)
+
+        new_files = table.write_data_files(spark, to_write, num_files=num_files)
+        snap = table.commit(
+            "merge",
+            new_files,
+            removed_paths=touched_rel,
+            summary={
+                "rows_inserted": n_insert,
+                "rows_updated": n_update,
+                "rows_deleted": n_delete,
+                "files_rewritten": len(touched_rel),
+                "files_added": len(new_files),
+                "candidate_files": len(candidate_paths),
+            },
+            expected_parent=expected_parent,
+        )
+        return MergeResult(
+            n_insert, n_update, n_delete, len(touched_rel), len(new_files), snap.snapshot_id
+        )
+    finally:
+        classified.unpersist()
+
+
+def _rel_path(table: Table, spark_file_uri: str) -> str:
+    """input_file_name() returns a file: URI; manifests store root-relative."""
+    import os
+
+    p = spark_file_uri
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.relpath(p, table.root)
