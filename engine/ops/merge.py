@@ -139,22 +139,27 @@ def merge_into(
         }
         touched_rel = {_rel_path(table, f) for f in touched}
 
-        # rows to write: survivors of touched files (minus deletes, with
-        # updated content) + inserts.  Untouched files are NOT read again.
-        if touched:
-            survivors = classified.filter(
-                F.col("_file").isNotNull()
-                & F.col("_file").isin(list(touched))
-                & (
-                    (F.col("_op") == "noop")
-                    | (F.col("_op") == "update")
-                    | ((F.col("_op") == "missing") & F.lit(not delete_missing))
-                )
-            ).select(*COLS)
-        else:
-            survivors = classified.filter(F.lit(False)).select(*COLS)
+        # rows to write = (all rows of touched files, minus updated/deleted
+        # keys) + updated versions + inserts.  Touched files are re-read in
+        # FULL (a physical file may hold rows outside the pruning predicate
+        # — those must survive the rewrite).  Untouched files are not read.
         inserts = classified.filter(F.col("_op") == "insert").select(*COLS)
-        to_write = survivors.unionByName(inserts)
+        replacements = classified.filter(F.col("_op") == "update").select(*COLS)
+        if touched:
+            import os as _os
+
+            touched_abs = [
+                _os.path.join(table.root, p) for p in sorted(touched_rel)
+            ]
+            full_touched = spark.read.schema(table.schema).parquet(*touched_abs)
+            drop_ops = ["update"] + (["missing"] if delete_missing else [])
+            drop_keys = (
+                classified.filter(F.col("_op").isin(drop_ops)).select(*KEY).distinct()
+            )
+            survivors = full_touched.join(F.broadcast(drop_keys), KEY, "left_anti")
+        else:
+            survivors = inserts.filter(F.lit(False))
+        to_write = survivors.unionByName(replacements).unionByName(inserts)
 
         new_files = table.write_data_files(spark, to_write, num_files=num_files)
         snap = table.commit(

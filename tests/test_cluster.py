@@ -1,0 +1,100 @@
+"""Clustering: curve math, content preservation, pruning improvement."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import corpus, tablefmt
+from engine.ops.cluster import (
+    _hilbert_d_np,
+    _interleave_bits_np,
+    _sample_boundaries,
+    cluster,
+)
+from engine.tablefmt import Table
+
+
+def _hilbert_xy2d_scalar(order: int, x: int, y: int) -> int:
+    """Brute-force scalar reference (classic Wikipedia xy2d)."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_morton_interleave():
+    x = np.array([0, 1, 0b1111, 0b1010], dtype=np.uint64)
+    y = np.array([0, 0, 0b0000, 0b0101], dtype=np.uint64)
+    z = _interleave_bits_np(x, y, 16)
+    assert z[0] == 0
+    assert z[1] == 0b10
+    assert z[2] == 0b10101010
+    assert z[3] == 0b10011001 + 0  # bits of x at odd, y at even positions
+    # locality sanity: adjacent x differ less than distant x
+    za = _interleave_bits_np(np.array([5]), np.array([5]), 16)[0]
+    zb = _interleave_bits_np(np.array([6]), np.array([5]), 16)[0]
+    zc = _interleave_bits_np(np.array([5000]), np.array([5]), 16)[0]
+    assert abs(int(za) - int(zb)) < abs(int(za) - int(zc))
+
+
+def test_hilbert_matches_bruteforce():
+    bits = 6
+    n = 1 << bits
+    rng = np.random.default_rng(42)
+    xs = rng.integers(0, n, 300)
+    ys = rng.integers(0, n, 300)
+    got = _hilbert_d_np(xs, ys, bits)
+    want = np.array([_hilbert_xy2d_scalar(n, int(x), int(y)) for x, y in zip(xs, ys)])
+    assert (got.astype(np.int64) == want).all()
+
+
+def test_hilbert_is_bijective_small():
+    bits = 4
+    n = 1 << bits
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = _hilbert_d_np(xs.ravel(), ys.ravel(), bits)
+    assert len(set(d.tolist())) == n * n  # perfect space-filling
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_preserves_content(spark, tmp_path, curve):
+    t = Table.create(str(tmp_path / curve))
+    df = corpus.generate_corpus(spark, n_files=400, n_repos=8, partitions=4)
+    tablefmt.append(spark, t, df, num_files=8)
+    digest = corpus.corpus_digest(t.scan(spark))
+    r = cluster(spark, t, curve=curve, num_files=8)
+    assert r.snapshot_id == t.current_snapshot_id
+    assert r.files_out >= 1
+    assert corpus.corpus_digest(t.scan(spark)) == digest
+
+
+def test_cluster_improves_pruning(spark, tmp_path):
+    """After Z-ordering, a repo-equality scan touches fewer files."""
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=1000, n_repos=10, partitions=8)
+    # append round-robin so every file contains every repo (worst layout)
+    tablefmt.append(spark, t, df.repartition(10), num_files=10)
+    pred = [("repo", "==", "repo_0003")]
+    before = len(t.files(pred=pred))
+    assert before == 10  # no pruning possible
+    cluster(spark, t, curve="zorder", num_files=10)
+    after = len(t.files(pred=pred))
+    assert after < before
+    # correctness unaffected
+    assert t.scan(spark, pred=pred).count() == df.filter("repo = 'repo_0003'").count()
+
+
+def test_sample_boundaries_order(spark):
+    df = corpus.generate_corpus(spark, n_files=300, n_repos=6, partitions=4)
+    b = _sample_boundaries(df, "repo", bits=3)
+    assert b == sorted(b)
+    assert len(b) <= 7

@@ -1,0 +1,149 @@
+"""MERGE INTO behavioral contract — the reference's incremental suite.
+
+Ports the five incremental-index tests
+(/root/reference/src/client/indexing/tests.rs:142-373) plus replay
+idempotence (commit anti-join, /root/reference/src/git/walker.rs:102-105)
+as MERGE-source variants asserting (inserted, updated, deleted).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import corpus, tablefmt
+from engine.ops.merge import merge_into
+from engine.tablefmt import Table
+
+N = 120
+
+
+@pytest.fixture()
+def base(spark):
+    return corpus.generate_corpus(spark, n_files=N, n_repos=4, partitions=4, version_col=True)
+
+
+@pytest.fixture()
+def table(spark, base, tmp_path):
+    t = Table.create(str(tmp_path / "t"))
+    tablefmt.append(spark, t, base, num_files=4)
+    return t
+
+
+def _one_key(df, i=0):
+    row = df.select("repo", "path").orderBy("repo", "path").collect()[i]
+    return row["repo"], row["path"]
+
+
+def test_no_changes(spark, base, table):
+    """Empty delta -> (0,0,0), no new snapshot."""
+    empty = base.filter(F.lit(False))
+    r = merge_into(spark, table, empty)
+    assert r.counts == (0, 0, 0)
+    assert r.snapshot_id is None
+    assert table.current_snapshot_id == 1
+
+
+def test_replay_full_source_is_noop(spark, base, table):
+    """Re-merging the identical corpus -> no-op (commit equality)."""
+    r = merge_into(spark, table, base, delete_missing=True)
+    assert r.counts == (0, 0, 0)
+    assert r.snapshot_id is None
+
+
+def test_new_file(spark, base, table):
+    delta = corpus.generate_corpus(
+        spark, n_files=N + 1, n_repos=4, partitions=4, version_col=True
+    ).filter(F.col("path").like(f"%_{N}.%"))
+    assert delta.count() == 1
+    r = merge_into(spark, table, delta)
+    assert r.counts == (1, 0, 0)
+    assert table.total_rows() == N + 1
+    # untouched files carried over: only the insert file was added
+    assert r.files_rewritten == 0 and r.files_added == 1
+
+
+def test_modified_file(spark, base, table):
+    repo, path = _one_key(base)
+    delta = corpus.bump_versions(
+        base.filter((F.col("repo") == repo) & (F.col("path") == path))
+    )
+    r = merge_into(spark, table, delta)
+    assert r.counts == (0, 1, 0)
+    assert table.total_rows() == N
+    # old row replaced: table content for the key equals delta content
+    got = (
+        table.scan(spark)
+        .filter((F.col("repo") == repo) & (F.col("path") == path))
+        .select("commit")
+        .collect()
+    )
+    want = delta.select("commit").collect()
+    assert [g["commit"] for g in got] == [w["commit"] for w in want]
+    assert r.files_rewritten == 1
+
+
+def test_removed_file(spark, base, table):
+    repo, path = _one_key(base)
+    # source = full listing of that repo minus the removed file
+    remaining = base.filter(
+        (F.col("repo") == repo) & ~((F.col("path") == path))
+    )
+    r = merge_into(spark, table, remaining, delete_missing=True)
+    assert r.counts == (0, 0, 1)
+    assert table.total_rows() == N - 1
+    assert (
+        table.scan(spark)
+        .filter((F.col("repo") == repo) & (F.col("path") == path))
+        .count()
+        == 0
+    )
+
+
+def test_mixed_add_modify_remove(spark, base, table):
+    repo, path_mod = _one_key(base.filter(F.col("repo") == "repo_0000"), 0)
+    _, path_rm = _one_key(base.filter(F.col("repo") == "repo_0000"), 1)
+    repo_rows = base.filter(F.col("repo") == repo)
+    modified = corpus.bump_versions(repo_rows.filter(F.col("path") == path_mod))
+    kept = repo_rows.filter(~F.col("path").isin([path_mod, path_rm]))
+    new_row = corpus.generate_corpus(
+        spark, n_files=N + 1, n_repos=4, partitions=2, version_col=True
+    ).filter(F.col("path").like(f"%_{N}.%")).withColumn("repo", F.lit(repo))
+    source = kept.unionByName(modified).unionByName(new_row.select(*kept.columns))
+    r = merge_into(spark, table, source, delete_missing=True)
+    assert r.counts == (1, 1, 1)
+    assert table.total_rows() == N
+
+    # per-row invariant: final state == expected set (sha256 digest)
+    other = base.filter(F.col("repo") != repo)
+    expected = other.unionByName(source)
+    assert corpus.corpus_digest(table.scan(spark)) == corpus.corpus_digest(expected)
+
+    # replay the same source -> (0,0,0) no-op
+    r2 = merge_into(spark, table, source, delete_missing=True)
+    assert r2.counts == (0, 0, 0)
+    assert r2.snapshot_id is None
+
+
+def test_merge_preserves_untouched_repo_files(spark, base, table):
+    """COW granularity: merging into repo A never rewrites repo-B files."""
+    t = table
+    files_before = {e.path for e in t.files()}
+    repo, path = _one_key(base.filter(F.col("repo") == "repo_0001"))
+    delta = corpus.bump_versions(
+        base.filter((F.col("repo") == repo) & (F.col("path") == path))
+    )
+    merge_into(spark, t, delta)
+    files_after = {e.path for e in t.files()}
+    # at most the files containing the key were swapped
+    assert len(files_before - files_after) <= 4  # wrote 4 files initially
+    assert len(files_before & files_after) >= 1
+
+
+def test_snapshot_isolation_after_merge(spark, base, table):
+    """Time-travel read of the pre-merge snapshot is unchanged."""
+    digest_before = corpus.corpus_digest(table.scan(spark, as_of=1))
+    repo, path = _one_key(base)
+    delta = corpus.bump_versions(
+        base.filter((F.col("repo") == repo) & (F.col("path") == path))
+    )
+    merge_into(spark, table, delta)
+    assert corpus.corpus_digest(table.scan(spark, as_of=1)) == digest_before
