@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is the end-to-end maintenance pipeline on a
+synthetic corpus sized to the sf (the BASELINE.json target): append ->
+MERGE 10% delta -> bin-packing compaction -> Z-order cluster -> full
+post-maintenance scan with sha256 verification.  Individual catalog
+queries at the sf dir are reported per-query.
+
+Scaling-efficiency evidence (N vs 4N executors) lives in
+BENCH/maintenance_scaling.py which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine import corpus, tablefmt  # noqa: E402
+from engine.ops.cluster import cluster  # noqa: E402
+from engine.ops.compact import compact  # noqa: E402
+from engine.ops.merge import merge_into  # noqa: E402
+from engine.queries import ORACLES, QUERIES  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+from engine.tablefmt import Table  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "rrf_fusion",
+    "merge_diff_classify",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "cosine_topk",
+    "chunk_fixed_size",
+    "quality_score",
+    "range_containment_join",
+    "window_running_total",
+    "topk_by_score",
+]
+
+
+def corpus_files_for_sf(sf: float) -> int:
+    # sf0.1 -> 20k files (~100 MB of content), linear in sf
+    return max(500, int(200_000 * sf))
+
+
+def run_maintenance_pipeline(spark, n_files: int, workdir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    t0 = time.monotonic()
+    df = corpus.generate_corpus(
+        spark, n_files=n_files, n_repos=50, skew=True, version_col=True
+    )
+    t = Table.create(os.path.join(workdir, "corpus"))
+    # fragmented append (the reference's fragment-per-store pattern)
+    for i in range(4):
+        tablefmt.append(
+            spark, t, df.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == i), num_files=8
+        )
+    times["append"] = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    delta = corpus.bump_versions(df.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == 0))
+    merge_into(spark, t, delta)
+    times["merge_10pct"] = time.monotonic() - t1
+
+    t2 = time.monotonic()
+    r = compact(spark, t, target_bytes=64 * 1024 * 1024)
+    times["compact"] = time.monotonic() - t2
+    times["compact_files_in"] = r.files_in
+    times["compact_bytes_in"] = r.bytes_in
+
+    t3 = time.monotonic()
+    cluster(spark, t, curve="zorder")
+    times["cluster_zorder"] = time.monotonic() - t3
+
+    t4 = time.monotonic()
+    n = (
+        t.scan(spark)
+        .select(F.sha2("content", 256).alias("sha"))
+        .agg(F.count("*").alias("n"))
+        .collect()[0]["n"]
+    )
+    times["post_scan_sha256"] = time.monotonic() - t4
+    assert n == n_files
+    times["total"] = time.monotonic() - t0
+    times["files_per_s"] = n_files / times["total"]
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+
+    query_times: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.collect()
+        query_times[name] = round(time.monotonic() - t0, 3)
+
+    workdir = tempfile.mkdtemp(prefix="bench-")
+    try:
+        m = run_maintenance_pipeline(spark, corpus_files_for_sf(sf), workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    for k, v in m.items():
+        if k not in ("compact_files_in", "compact_bytes_in", "files_per_s"):
+            query_times[f"maint_{k}"] = round(v, 3)
+
+    out = {
+        "metric": "maintenance_pipeline_plus_catalog_queries",
+        "value": round(m["total"] + sum(
+            v for k, v in query_times.items() if not k.startswith("maint_")
+        ), 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf,
+        "maintenance_files_per_s": round(m["files_per_s"], 1),
+        "maintenance_bytes_in": m["compact_bytes_in"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,16 +77,23 @@ def _sample_boundaries(
     return vals[step::step][: n_buckets - 1]
 
 
-def _bucket_udf(boundaries: list[str]):
-    """Vectorized Arrow UDF: value -> range-bucket id (uint32)."""
+def _bucket_udf(boundaries: list[str], bits: int = BITS):
+    """Vectorized Arrow UDF: value -> range-bucket id scaled to [0, 2^bits).
+
+    Scaling to the full bit-width matters: without it a low-cardinality
+    dimension (few repos) occupies only the curve's low bits and the
+    other dimension dominates the sort order, destroying its pruning
+    power.  Equal widths give each dimension equal say in the curve.
+    """
     b = np.array(boundaries, dtype=object)
+    scale = (1 << bits) / (len(boundaries) + 1)
 
     @F.pandas_udf(T.IntegerType())
     def bucketize(s: pd.Series) -> pd.Series:
         if len(b) == 0:
             return pd.Series(np.zeros(len(s), dtype=np.int32))
         idx = np.searchsorted(b, s.to_numpy(dtype=object), side="right")
-        return pd.Series(idx.astype(np.int32))
+        return pd.Series(np.floor(idx * scale).astype(np.int32))
 
     return bucketize
 
@@ -151,8 +158,8 @@ def with_curve_key(
     path_boundaries: list[str],
     bits: int = BITS,
 ) -> DataFrame:
-    bx = _bucket_udf(repo_boundaries)
-    by = _bucket_udf(path_boundaries)
+    bx = _bucket_udf(repo_boundaries, bits)
+    by = _bucket_udf(path_boundaries, bits)
     keyf = _curve_udf(curve, bits)
     return df.withColumn("zkey", keyf(bx(F.col("repo")), by(F.col("path"))))
 

@@ -1,0 +1,558 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+The operations a large-scale training-data pipeline needs on top of the
+maintenance engine: deduplication (exact, MinHash-band, n-gram
+Jaccard), similarity search (brute-force cosine top-k and an
+LSH-bucketed scale path), text analysis (language-ID heuristic, quality
+scoring, token counting, fingerprinting), and fixed-size chunking (the
+reference's C1 chunker, /root/reference/src/indexer/chunker.rs:56-95).
+
+Cross-engine determinism notes:
+- hash-based ops use md5/sha256 (identical in Spark and DuckDB) — never
+  engine-native hash()/xxhash64 which differ across engines.
+- float outputs are rounded; ranked outputs carry deterministic
+  tie-breaks on key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .catalog import q, t
+
+# =========================================================================
+# Chunking (SURVEY §2.3 — C1 fixed-size groups, 1-based offsets)
+# =========================================================================
+
+CHUNK = 50
+
+
+@q(
+    "chunk_fixed_size",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT doc_id, CAST(floor((pos - 1) / {CHUNK}) AS BIGINT) AS chunk_id,
+           CAST(min(pos) AS BIGINT) AS start_pos, CAST(max(pos) AS BIGINT) AS end_pos,
+           count(*) AS n_words
+    FROM words GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_fixed_size(spark, sf_dir):
+    """C1: split into ceil(n/50) groups of 50 units, 1-based positions —
+    pure SQL posexplode/groupBy, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).withColumn("pos", F.col("pos0") + 1)
+    return (
+        words.groupBy(
+            "doc_id", F.floor((F.col("pos") - 1) / CHUNK).alias("chunk_id")
+        )
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+            F.count("*").alias("n_words"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@q(
+    "chunk_reassembly_invariant",
+    """
+    SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id
+    """,
+)
+def chunk_reassembly_invariant(spark, sf_dir):
+    """Chunk then reassemble == original (the chunker's round-trip
+    invariant; C1 concatenation property)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    )
+    chunks = (
+        words.groupBy("doc_id", F.floor(F.col("pos0") / CHUNK).alias("chunk_id"))
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("pos0", "word"))).word, " ").alias("chunk"))
+    )
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))).chunk, " "
+            ).alias("text")
+        )
+    )
+    return rebuilt.select("doc_id", F.sha2("text", 256).alias("sha")).orderBy("doc_id")
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest (the reference's
+    SHA-256 identity, applied corpus-wide).  At scale this is one
+    partial+final hash aggregate — no shuffle of content, only digests."""
+    d = t(spark, sf_dir, "documents").select(F.md5("text").alias("h"))
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dups"),
+    )
+
+
+@q(
+    "dedup_exact_keep_first",
+    """
+    WITH ranked AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+N_MINHASH_BANDS = 8
+
+
+@q(
+    "dedup_minhash_bands",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), shingles AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), bands AS (
+      SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      FROM shingles, (SELECT unnest(range({N_MINHASH_BANDS})) AS band)
+      GROUP BY doc_id, band
+    )
+    SELECT band, sig, count(DISTINCT doc_id) AS bucket_size
+    FROM bands GROUP BY band, sig HAVING count(DISTINCT doc_id) > 1
+    ORDER BY band, sig
+    """,
+)
+def dedup_minhash_bands(spark, sf_dir):
+    """MinHash+LSH near-dup: 3-word shingles -> per-band min-hash
+    signature -> band buckets with >1 doc are near-dup candidates.
+    Shingle -> minhash -> band -> bucket-join, entirely in built-in
+    functions (md5 keeps signatures engine-portable)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    )
+    # 3-gram shingles via self-joins on position (executes as sort-merge
+    # within doc partitions; at scale: window lead() avoids the join)
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.split("text", " "),
+                    1,
+                    F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)),
+                ),
+                lambda x, i: F.concat_ws(
+                    " ",
+                    F.element_at(F.split("text", " "), i + 1),
+                    F.element_at(F.split("text", " "), i + 2),
+                    F.element_at(F.split("text", " "), i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    bands = shingles.crossJoin(
+        F.broadcast(
+            spark.range(N_MINHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+        )
+    )
+    sigs = (
+        bands.withColumn(
+            "h", F.md5(F.concat_ws(":", F.col("band"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+    return (
+        sigs.groupBy("band", "sig")
+        .agg(F.countDistinct("doc_id").alias("bucket_size"))
+        .filter(F.col("bucket_size") > 1)
+        .orderBy("band", "sig")
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 40
+    ), sets AS (SELECT DISTINCT doc_id, word FROM words),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sets a JOIN sets b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+    FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+                 JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Unigram-set Jaccard similarity >= 0.5 over a bounded doc subset
+    (pairwise compare is quadratic — at scale the MinHash bands above
+    shortlist candidate pairs first; this computes exact Jaccard)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sets = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("inter")
+    )
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(substr(text, 1, 64)) AS head_print,
+           md5(substr(reverse(text), 1, 64)) AS tail_print,
+           length(text) AS n
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 64)).alias("head_print"),
+        F.md5(F.substring(F.reverse(F.col("text")), 1, 64)).alias("tail_print"),
+        F.length("text").alias("n"),
+    ).orderBy("doc_id")
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+
+@q(
+    "cosine_topk",
+    """
+    WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(list_zip(embedding, (SELECT qe FROM qv)),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform((SELECT qe FROM qv),
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos_raw
+      FROM embeddings WHERE vec_id != 0
+    )
+    SELECT vec_id, round(cos_raw, 4) AS cos FROM scored
+    ORDER BY cos_raw DESC, vec_id LIMIT 10
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    """T1/F15: brute-force exact cosine top-k, computed JVM-side with
+    zip_with/aggregate on the array column — no Python in the hot path.
+    (The reference uses approximate HNSW at ~95% recall; exact top-k is
+    a correctness superset.)"""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    norm = lambda a: F.sqrt(dot(a, a))
+    cos = dot(F.col("embedding"), F.col("qe")) / (
+        norm(F.col("embedding")) * norm(F.col("qe"))
+    )
+    return (
+        j.withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@q(
+    "knn_by_label",
+    """
+    WITH pairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 60 AND b.vec_id < 60
+    )
+    SELECT la, lb, round(avg(cos), 4) AS avg_cos, count(*) AS n
+    FROM pairs GROUP BY la, lb ORDER BY la, lb
+    """,
+)
+def knn_by_label(spark, sf_dir):
+    """Pairwise label-block similarity matrix over a bounded subset —
+    the all-pairs building block of embedding-cosine near-dup."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        pairs.select(
+            F.col("a.label").alias("la"), F.col("b.label").alias("lb"), cos.alias("cos")
+        )
+        .groupBy("la", "lb")
+        .agg(F.round(F.avg("cos"), 4).alias("avg_cos"), F.count("*").alias("n"))
+        .orderBy("la", "lb")
+    )
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z_][a-zA-Z0-9_]*')) AS ident_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark, sf_dir):
+    """F10 identifier tokenizer + whitespace token count."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-zA-Z_][a-zA-Z0-9_]*"), F.lit(0))
+        ).alias("ident_tokens"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS punct_ratio,
+           round(CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|in)\\b')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality scoring: punctuation ratio, stopword ratio, length gate."""
+    d = t(spark, sf_dir, "documents")
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast(
+        "double"
+    ) / F.length("text")
+    stop = F.size(
+        F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|is|in)\b"), F.lit(0))
+    ).cast("double") / F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        F.when(F.length("text").between(100, 2000), 1).otherwise(0).alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b')) >= 1
+                THEN 'en' ELSE 'other' END AS lang_guess,
+           lang AS lang_label
+    FROM documents ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID n-gram heuristic (stopword evidence -> 'en')."""
+    d = t(spark, sf_dir, "documents")
+    guess = F.when(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|and|of)\b"), F.lit(0))
+        )
+        >= 1,
+        "en",
+    ).otherwise("other")
+    return d.select(
+        "doc_id", guess.alias("lang_guess"), F.col("lang").alias("lang_label")
+    ).orderBy("doc_id")
+
+
+# =========================================================================
+# TPC-H-style analytics (scan/agg/join plans at benchmark scale)
+# =========================================================================
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide scan + partial/final hash aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY revenue DESC, nation
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """Multi-join star query: fact-fact sort-merge + broadcast dims."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@q(
+    "window_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM events WHERE user_id < 10 ORDER BY user_id, rn
+    """,
+)
+def window_running_total(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.round(
+                F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running"),
+        )
+        .orderBy("user_id", "rn")
+    )

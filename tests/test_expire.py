@@ -1,0 +1,78 @@
+"""Snapshot expiry + orphan sweep + the FIXTURES.md §7 isolation chain."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine import corpus, tablefmt
+from engine.ops.compact import compact
+from engine.ops.expire import expire_snapshots, sweep_orphan_files
+from engine.ops.manifest import rewrite_manifests
+from engine.ops.merge import merge_into
+from engine.tablefmt import SnapshotNotFound, Table
+
+
+def test_expire_chain_s0_s3(spark, tmp_path):
+    """S0 create -> S1 append -> S2 merge(mixed) -> S3 compact ->
+    expire retaining S3(+current): S3 byte-identical before/after,
+    S1/S2 reads raise."""
+    t = Table.create(str(tmp_path / "t"))  # S0
+    base = corpus.generate_corpus(spark, n_files=150, n_repos=4, partitions=4, version_col=True)
+    tablefmt.append(spark, t, base, num_files=6)  # S1
+
+    mod = corpus.bump_versions(base.limit(10))
+    merge_into(spark, t, mod)  # S2
+    compact(spark, t, target_bytes=256 * 1024 * 1024)  # S3
+    s3 = t.current_snapshot_id
+    digest_s3 = corpus.corpus_digest(t.scan(spark, as_of=s3))
+
+    n_data_before = len(os.listdir(t.data_dir))
+    r = expire_snapshots(t, retain_last=1)
+    assert r.retained_snapshots == [s3]
+    assert 1 in r.expired_snapshots and 2 in r.expired_snapshots
+    assert r.orphans_deleted > 0
+    assert len(os.listdir(t.data_dir)) < n_data_before
+
+    # retained snapshot is byte-identical after expiry
+    assert corpus.corpus_digest(t.scan(spark, as_of=s3)) == digest_s3
+    # expired snapshots raise
+    with pytest.raises(SnapshotNotFound):
+        t.scan(spark, as_of=1)
+    with pytest.raises(SnapshotNotFound):
+        t.snapshot(2)
+
+
+def test_orphan_sweep_reclaims_uncommitted(spark, tmp_path):
+    """Files written but never committed (crashed writer) are swept."""
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=50, n_repos=2, partitions=2)
+    tablefmt.append(spark, t, df, num_files=1)
+    # a crashed writer: data files staged+moved, no commit
+    t.write_data_files(spark, df, num_files=2)
+    assert len(os.listdir(t.data_dir)) == 3
+    n, reclaimed = sweep_orphan_files(t)
+    assert n == 2 and reclaimed > 0
+    assert len(os.listdir(t.data_dir)) == 1
+    assert t.scan(spark).count() == 50
+
+
+def test_rewrite_manifests_preserves_scan(spark, tmp_path):
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=200, n_repos=5, partitions=4)
+    for r in ["repo_0000", "repo_0001", "repo_0002", "repo_0003", "repo_0004"]:
+        files = t.write_data_files(
+            spark, df.filter(F.col("repo") == r), partition=r, num_files=2
+        )
+        t.commit("append", files)
+    digest = corpus.corpus_digest(t.scan(spark))
+    snap_before = t.snapshot()
+    r = rewrite_manifests(t, group_by="partition")
+    assert r.manifests_after == 5  # one per repo partition
+    assert corpus.corpus_digest(t.scan(spark)) == digest
+    # data files untouched
+    assert {e.path for e in t.files()} == {
+        e.path for e in t.files(snap_before.snapshot_id)
+    }
+    # pruning still works at manifest level
+    assert len(t.files(pred=[("repo", "==", "repo_0003")])) == 2
