@@ -1,0 +1,117 @@
+"""Dump physical plans of the load-bearing operators -> BENCH/PLANS.md.
+
+Plan-shape evidence the scale claims rest on:
+- parquet scans show PushedFilters + pruned ReadSchema (Catalyst
+  pushdown under our manifest pruning),
+- dimension joins go broadcast; big joins stay sort-merge under AQE,
+- hot paths sit inside WholeStageCodegen spans,
+- the clustering write is one range shuffle (no global sort).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from engine import corpus, tablefmt  # noqa: E402
+from engine.ops.cluster import _sample_boundaries, with_curve_key  # noqa: E402
+from engine.queries import QUERIES  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+from engine.tablefmt import Table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def cap(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    import tempfile
+
+    spark = get_spark(app_name="plans", master="local[8]", shuffle_partitions=8)
+    sections: list[tuple[str, str, str]] = []
+
+    # 1. pruned + pushed table scan
+    with tempfile.TemporaryDirectory() as d:
+        t = Table.create(os.path.join(d, "t"))
+        df = corpus.generate_corpus(spark, n_files=2000, n_repos=10, partitions=8)
+        for r in range(10):
+            tablefmt.append(
+                spark, t, df.filter(F.col("repo") == f"repo_{r:04d}"),
+                num_files=1, partition=f"repo_{r:04d}",
+            )
+        pred = [("repo", "==", "repo_0003")]
+        scan = t.scan(spark, pred=pred, columns=["repo", "path", "commit"])
+        n_pruned = len(t.files(pred=pred))
+        sections.append(
+            (
+                "Manifest-pruned table scan (repo = 'repo_0003')",
+                f"manifest pruning kept {n_pruned} of {len(t.files())} files; "
+                "residual filter pushed to parquet (PushedFilters), projection "
+                "pruned to 3 columns (ReadSchema):",
+                cap(scan),
+            )
+        )
+
+        # 2. clustering layout plan: single range shuffle
+        rb = _sample_boundaries(df, "repo")
+        pb = _sample_boundaries(df, "path")
+        keyed = with_curve_key(df, "zorder", rb, pb)
+        layout = keyed.repartitionByRange(8, "zkey").sortWithinPartitions("zkey")
+        sections.append(
+            (
+                "Z-order layout write plan",
+                "one RangePartitioning exchange + in-partition sort — no global sort; "
+                "curve key computed in a single ArrowEvalPython (vectorized UDF) node:",
+                cap(layout),
+            )
+        )
+
+    # 3. broadcast dim join
+    sections.append(
+        (
+            "Star join (customer x nation x region)",
+            "both dims broadcast (BroadcastHashJoin), fact scan stays columnar:",
+            cap(QUERIES["broadcast_dim_join"](spark, SF_DIR)),
+        )
+    )
+
+    # 4. big fact-fact join under AQE
+    sections.append(
+        (
+            "Fact-fact join (lineitem x orders x customer)",
+            "AQE plans sort-merge for fact-fact, broadcast for dims:",
+            cap(QUERIES["revenue_by_nation"](spark, SF_DIR)),
+        )
+    )
+
+    # 5. pricing summary — whole-stage codegen agg
+    sections.append(
+        (
+            "Pricing summary (TPC-H Q1 shape)",
+            "partial+final HashAggregate inside WholeStageCodegen; filter pushed:",
+            cap(QUERIES["pricing_summary"](spark, SF_DIR)),
+        )
+    )
+
+    out = ["# Physical-plan evidence (explain formatted)\n"]
+    for title, note, plan in sections:
+        out.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote BENCH/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

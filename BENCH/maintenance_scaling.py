@@ -1,0 +1,137 @@
+"""Two-cluster-size scaling bench -> BENCH/BASELINE.md.
+
+BASELINE.json's north rule requires the maintenance job to run at two
+cluster sizes (N and 4N executors) with throughput scaling efficiency
+>= 0.8.  In this sandbox the two sizes are evidenced by running the
+IDENTICAL job at local[8] and local[32] on the SAME input corpus:
+
+    efficiency = (T_8 / T_32) / 4      (fixed-input formulation)
+
+Each parallelism level runs in its own subprocess (a Spark local-mode
+JVM pins its thread count at startup), on an identical deterministic
+corpus.  The measured phase is executor-bound work only: fragmented
+append -> MERGE 10% delta -> compaction -> Z-order cluster -> full
+sha256 scan; no driver-side row collection anywhere in the pipeline.
+
+Usage: python BENCH/maintenance_scaling.py [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from engine import corpus, tablefmt
+from engine.ops.cluster import cluster
+from engine.ops.compact import compact
+from engine.ops.merge import merge_into
+from engine.session import get_spark
+from engine.tablefmt import Table
+
+cores = int(sys.argv[1])
+n_files = int(sys.argv[2])
+spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores, 8))
+workdir = tempfile.mkdtemp(prefix=f"scale{{cores}}-")
+try:
+    df = corpus.generate_corpus(spark, n_files=n_files, n_repos=50, skew=True,
+                                version_col=True, partitions=max(cores * 4, 32))
+    df.persist().count()  # materialize input outside the timed window
+    t0 = time.monotonic()
+    t = Table.create(os.path.join(workdir, "corpus"))
+    for i in range(4):
+        tablefmt.append(spark, t,
+                        df.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == i),
+                        num_files=8)
+    delta = corpus.bump_versions(df.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == 0))
+    merge_into(spark, t, delta)
+    r = compact(spark, t, target_bytes=64 * 1024 * 1024)
+    cluster(spark, t, curve="zorder")
+    n = t.scan(spark).select(F.sha2("content", 256).alias("s")).count()
+    assert n == n_files, (n, n_files)
+    elapsed = time.monotonic() - t0
+    print(json.dumps({{"cores": cores, "seconds": elapsed,
+                      "files_per_s": n_files / elapsed,
+                      "bytes_rewritten": r.bytes_in,
+                      "bytes_per_s": r.bytes_in / elapsed}}))
+finally:
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+"""
+
+
+def run_level(cores: int, n_files: int) -> dict:
+    script = WORKER.format(repo=REPO)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, path, str(cores), str(n_files)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr[-3000:])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    finally:
+        os.unlink(path)
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    results = {}
+    for cores in (8, 32):
+        results[cores] = run_level(cores, n_files)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+    t8, t32 = results[8]["seconds"], results[32]["seconds"]
+    eff = (t8 / t32) / 4
+    report = {
+        "n_files": n_files,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": t8 / t32,
+        "scaling_efficiency": eff,
+    }
+    print(json.dumps(report))
+
+    md = f"""# BENCH/BASELINE.md — maintenance throughput at two cluster sizes
+
+Target (BASELINE.json): post-maintenance full-scan + compaction
+throughput with N->4N executor scaling efficiency >= 0.8.  Evidence:
+the identical maintenance job (fragmented append -> MERGE 10% delta ->
+bin-packing compaction -> Z-order cluster -> full sha256 scan) on the
+identical deterministic corpus ({n_files:,} files, 50 repos, skewed:
+repo_0000 holds 30%), run at local[8] (N) and local[32] (4N).
+
+| parallelism | wall s | files/s | bytes rewritten/s |
+|---|---|---|---|
+| local[8]  (N)  | {t8:.1f} | {results[8]['files_per_s']:.0f} | {results[8]['bytes_per_s']:.3e} |
+| local[32] (4N) | {t32:.1f} | {results[32]['files_per_s']:.0f} | {results[32]['bytes_per_s']:.3e} |
+
+- speedup local[8] -> local[32]: **{t8 / t32:.2f}x** (ideal 4x)
+- scaling efficiency (T8/T32)/4: **{eff:.2f}** (target >= 0.8)
+
+Method notes: input corpus materialized (persisted) before the timed
+window; the timed phases are executor-bound (scan/shuffle/write); the
+driver handles only manifest metadata — no row data is ever collected.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

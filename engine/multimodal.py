@@ -1,0 +1,131 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video assets ride through the lakehouse as ``binary``
+columns with a typed metadata struct — the table layer treats them as
+opaque bytes (same storage path as ``content``), and modality-specific
+work happens in Arrow-batched ``mapInPandas`` operators.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernels are stubbed: ``decode_stub=True`` (default) derives
+deterministic fake features from the payload bytes so the Spark-side
+plumbing — schema, batch shape, partitioning, UDF signatures — is real
+and tested end-to-end; ``decode_stub=False`` raises NotImplementedError
+at the exact point a real decoder plugs in.
+
+Pipeline pattern mirrors the reference's one UDF-shaped extension trait
+(EmbeddingProvider, /root/reference/src/embedding/mod.rs:8-17): batch
+in, batch out, model/codec state initialized once per Python worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "asset_id string, modality string, payload_sha string, "
+    f"feature array<float>, feat_norm double"
+)
+
+
+def synthesize_media(
+    spark: SparkSession, n_assets: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic fake assets: payload bytes derived from asset_id."""
+    df = spark.range(n_assets).select(
+        F.format_string("asset_%06d", F.col("id")).alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3).cast("int") + 1,
+        ).alias("modality"),
+        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
+        .cast("binary")
+        .alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            ((F.col("id") % 30) + 1).cast("int").alias("n_frames"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+    return df
+
+
+def extract_features(
+    media: DataFrame, decode_stub: bool = True, batch_size: int = 256
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (one asset row -> one
+    feature row).  Arrow-batched; codec state would be initialized once
+    per worker (the E1/E2 batching pattern)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker init happens HERE (load codec/model once) — stub: none
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                sha = hashlib.sha256(payload).hexdigest()
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real decoder (PIL/ffmpeg) not available in this "
+                        "environment; plug in here"
+                    )
+                # deterministic fake feature: bytes -> FEATURE_DIM floats
+                raw = np.frombuffer(
+                    hashlib.sha512(payload).digest(), dtype=np.uint8
+                )[: FEATURE_DIM * 2].astype(np.float32)
+                feat = (raw[:FEATURE_DIM] - 127.5) / 127.5
+                out.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "modality": row["modality"],
+                        "payload_sha": sha,
+                        "feature": feat.tolist(),
+                        "feat_norm": float(np.linalg.norm(feat)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
+    """Video frame sampling: one row per sampled frame index (UDTF-shaped
+    explode driven by metadata — no decode needed for the plumbing)."""
+    video = media.filter(F.col("modality") == "video")
+    return video.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+    )

@@ -61,7 +61,6 @@ def merge_into(
     source: DataFrame,
     delete_missing: bool = False,
     num_files: int | None = None,
-    broadcast_threshold_rows: int = 2_000_000,
 ) -> MergeResult:
     """Merge ``source`` (repo, path, commit, lang, content) into table.
 
@@ -81,14 +80,15 @@ def merge_into(
     candidates = table.files(pred=pred) if src_repos else []
     candidate_paths = {e.path for e in candidates}
 
-    if source.isEmpty() and not delete_missing:
+    if not src_repos:
         return MergeResult(0, 0, 0, 0, 0, None)
 
     tgt = table.scan(spark, pred=pred, with_file_path=True) if candidates else None
 
+    # join strategy: Catalyst + AQE pick broadcast at runtime when the
+    # delta is small (the common incremental case); sort-merge with skew
+    # splitting otherwise.  No forced hint so huge deltas stay safe.
     src = source
-    if src.count() <= broadcast_threshold_rows:
-        src = F.broadcast(src)
 
     if tgt is not None:
         joined = tgt.alias("t").join(
@@ -116,10 +116,14 @@ def merge_into(
 
     classified = classified.persist()
     try:
-        agg = {
-            r["_op"]: r["n"]
-            for r in classified.groupBy("_op").agg(F.count("*").alias("n")).collect()
-        }
+        # ONE aggregation action yields both the op counts and the touched
+        # file set (#groups is bounded by #candidate files — metadata-sized)
+        op_file = (
+            classified.groupBy("_op", "_file").agg(F.count("*").alias("n")).collect()
+        )
+        agg: dict[str, int] = {}
+        for r in op_file:
+            agg[r["_op"]] = agg.get(r["_op"], 0) + r["n"]
         n_insert = agg.get("insert", 0)
         n_update = agg.get("update", 0)
         n_delete = agg.get("missing", 0) if delete_missing else 0
@@ -128,14 +132,11 @@ def merge_into(
             return MergeResult(0, 0, 0, 0, 0, None)  # replay => idempotent no-op
 
         # files physically touched: contain an updated or (to-be-)deleted row
-        touch_ops = ["update"] + (["missing"] if delete_missing else [])
+        touch_ops = {"update"} | ({"missing"} if delete_missing else set())
         touched = {
             r["_file"]
-            for r in classified.filter(F.col("_op").isin(touch_ops))
-            .select("_file")
-            .distinct()
-            .collect()
-            if r["_file"] is not None
+            for r in op_file
+            if r["_op"] in touch_ops and r["_file"] is not None
         }
         touched_rel = {_rel_path(table, f) for f in touched}
 
@@ -181,6 +182,32 @@ def merge_into(
         )
     finally:
         classified.unpersist()
+
+
+def merge_with_retry(
+    spark: SparkSession,
+    table: Table,
+    source: DataFrame,
+    retries: int = 5,
+    **kwargs,
+) -> MergeResult:
+    """Optimistic-concurrency wrapper: on CommitConflict (another writer
+    advanced the snapshot log first), re-plan against the new current
+    snapshot and retry.  The reference's flock makes losers wait for the
+    winner (/root/reference/src/client/mod.rs:329-423); our snapshot-log
+    equivalent makes losers re-plan — and a re-planned replay of
+    already-applied changes MERGEs to a no-op (commit anti-join), so the
+    'winner's result is shared' semantics hold
+    (/root/reference/src/client/indexing/mod.rs:704-734)."""
+    from ..tablefmt import CommitConflict
+
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            return merge_into(spark, table, source, **kwargs)
+        except CommitConflict as e:  # lost the race — re-plan
+            last = e
+    raise last  # type: ignore[misc]
 
 
 def _rel_path(table: Table, spark_file_uri: str) -> str:

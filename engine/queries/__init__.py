@@ -1,2 +1,2 @@
-from . import pipeline  # noqa: F401  (registers pipeline queries)
+from . import extended, pipeline  # noqa: F401  (register query batches)
 from .catalog import ORACLES, QUERIES  # noqa: F401

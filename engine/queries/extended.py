@@ -1,0 +1,361 @@
+"""Extended operator coverage: chunker variants, git-history parsing,
+hybrid-search filters, cache digests (SURVEY §2 C2/C5, F7-F9, F12, S4,
+P3/P4, S14, A5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .catalog import q, t
+
+# -------------------------------------------------------------------------
+# C2: sliding-window chunker (size 30, step 20, last partial kept)
+# -------------------------------------------------------------------------
+
+WIN, STEP = 30, 20
+
+
+@q(
+    "chunk_sliding_window",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n FROM documents
+    ), starts AS (
+      SELECT doc_id, n, unnest(range(0, greatest(n - {WIN}, 0) + {STEP}, {STEP})) AS start0
+      FROM docs
+    )
+    SELECT doc_id, CAST(start0 + 1 AS BIGINT) AS start_pos,
+           CAST(least(start0 + {WIN}, n) AS BIGINT) AS end_pos
+    FROM starts WHERE start0 < n
+    ORDER BY doc_id, start_pos
+    """,
+)
+def chunk_sliding_window(spark, sf_dir):
+    """C2 (/root/reference/src/indexer/chunker.rs:98-156): window of
+    ``size`` words advancing by ``step = size - overlap``; trailing
+    partial window kept.  sequence() generates starts JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    d = d.withColumn("n", F.size(F.split("text", " ")))
+    starts = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n") - WIN, F.lit(0)) + STEP - 1, F.lit(STEP)
+            )
+        ).alias("start0"),
+    ).filter(F.col("start0") < F.col("n"))
+    return starts.select(
+        "doc_id",
+        (F.col("start0") + 1).cast("long").alias("start_pos"),
+        F.least(F.col("start0") + WIN, F.col("n")).cast("long").alias("end_pos"),
+    ).orderBy("doc_id", "start_pos")
+
+
+# -------------------------------------------------------------------------
+# C5 + F9: commit -> document formatting, then parsing fields back out
+# -------------------------------------------------------------------------
+
+
+@q(
+    "commit_doc_roundtrip",
+    """
+    WITH docs AS (
+      SELECT event_id,
+             'Commit Message:' || chr(10) || event_type || chr(10) || chr(10) ||
+             'Author: user_' || CAST(user_id AS VARCHAR) ||
+             ' <u' || CAST(user_id AS VARCHAR) || '@example.com>' AS doc
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           regexp_extract(doc, 'Commit Message:\n([^\n]*)', 1) AS msg,
+           regexp_extract(doc, 'Author: ([^<]+) <', 1) AS author,
+           regexp_extract(doc, '<([^>]+)>', 1) AS email
+    FROM docs ORDER BY event_id
+    """,
+)
+def commit_doc_roundtrip(spark, sf_dir):
+    """C5 formats a commit document (git/chunker.rs:26-101); F8/F9 parse
+    author + message back out (git_indexing/mod.rs:200-258, 315-327)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    doc = F.concat(
+        F.lit("Commit Message:\n"),
+        F.col("event_type"),
+        F.lit("\n\nAuthor: user_"),
+        F.col("user_id").cast("string"),
+        F.lit(" <u"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com>"),
+    )
+    d = e.select("event_id", doc.alias("doc"))
+    return d.select(
+        "event_id",
+        F.regexp_extract("doc", "Commit Message:\n([^\n]*)", 1).alias("msg"),
+        F.regexp_extract("doc", "Author: ([^<]+) <", 1).alias("author"),
+        F.regexp_extract("doc", "<([^>]+)>", 1).alias("email"),
+    ).orderBy("event_id")
+
+
+# -------------------------------------------------------------------------
+# F7: date parsing with fallback (RFC date string OR unix seconds)
+# -------------------------------------------------------------------------
+
+
+@q(
+    "date_parse_fallback",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN '2024-01-' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+                  ELSE CAST(1704067200 + doc_id * 86400 AS VARCHAR) END AS dt
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           strftime(coalesce(try_cast(dt AS DATE),
+                             CAST(to_timestamp(CAST(dt AS BIGINT)) AS DATE)),
+                    '%Y-%m-%d') AS parsed
+    FROM raw ORDER BY doc_id
+    """,
+)
+def date_parse_fallback(spark, sf_dir):
+    """F7 (git_indexing/mod.rs:295-312): try ISO date, fall back to unix
+    seconds — coalesce over try-parsers."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    raw = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((F.col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise((F.lit(1704067200) + F.col("doc_id") * 86400).cast("string"))
+        .alias("dt"),
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("dt"), F.lit("yyyy-MM-dd")).cast("date"),
+        F.timestamp_seconds(F.col("dt").cast("long")).cast("date"),
+    )
+    return raw.select(
+        "doc_id", F.date_format(parsed, "yyyy-MM-dd").alias("parsed")
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# S4: binary detection (control-byte ratio)
+# -------------------------------------------------------------------------
+
+
+@q(
+    "binary_detection",
+    r"""
+    SELECT doc_id,
+           CASE WHEN CAST(length(regexp_replace(text, '[^\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS DOUBLE)
+                     / length(text) > 0.3
+                THEN 1 ELSE 0 END AS is_binary
+    FROM documents ORDER BY doc_id
+    """,
+)
+def binary_detection(spark, sf_dir):
+    """S4 (file_walker/mod.rs:186-196): >30% control bytes (excluding
+    \\n \\r \\t) => binary, rejected.  Pure regexp arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    ctl = F.length(
+        F.regexp_replace("text", r"[^\x01-\x08\x0b\x0c\x0e-\x1f]", "")
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.when(ctl / F.length("text") > 0.3, 1).otherwise(0).alias("is_binary"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------------
+# P3/P4: min_score filters (pure + hybrid either-score semantics)
+# -------------------------------------------------------------------------
+
+
+@q(
+    "min_score_hybrid_filter",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + abs(n_chars - 300) / 100.0), 6) AS vector_score,
+             round(least(len(regexp_extract_all(text, 'data')) / 5.0, 1.0), 6) AS keyword_score
+      FROM documents
+    )
+    SELECT doc_id, vector_score, keyword_score FROM scored
+    WHERE vector_score >= 0.6 OR keyword_score >= 0.6
+    ORDER BY doc_id
+    """,
+)
+def min_score_hybrid_filter(spark, sf_dir):
+    """P4 (lance_client/mod.rs:524-534): hybrid keeps a row if EITHER
+    score clears the threshold, applied after fusion, never before."""
+    d = t(spark, sf_dir, "documents")
+    vs = F.round(1.0 / (1.0 + F.abs(F.col("n_chars") - 300) / 100.0), 6)
+    ks = F.round(
+        F.least(
+            F.size(F.regexp_extract_all("text", F.lit("data"), F.lit(0))) / 5.0,
+            F.lit(1.0),
+        ),
+        6,
+    )
+    s = d.select("doc_id", vs.alias("vector_score"), ks.alias("keyword_score"))
+    return s.filter(
+        (F.col("vector_score") >= 0.6) | (F.col("keyword_score") >= 0.6)
+    ).orderBy("doc_id")
+
+
+@q(
+    "adaptive_threshold_ladder",
+    """
+    WITH scored AS (
+      SELECT doc_id, round(1.0 / (1.0 + abs(n_chars - 5000) / 100.0), 6) AS score
+      FROM documents
+    ), ladder AS (SELECT unnest([0.8, 0.6, 0.5, 0.4, 0.3]) AS th),
+    counts AS (
+      SELECT l.th, (SELECT count(*) FROM scored s WHERE s.score >= l.th) AS cnt
+      FROM ladder l
+    ), used AS (
+      SELECT max(th) AS threshold_used FROM counts WHERE cnt > 0
+    )
+    SELECT s.doc_id, s.score,
+           round((SELECT threshold_used FROM used), 2) AS threshold_used
+    FROM scored s WHERE s.score >= (SELECT threshold_used FROM used)
+    ORDER BY s.doc_id
+    """,
+)
+def adaptive_threshold_ladder(spark, sf_dir):
+    """F14 (client/mod.rs:516-562): if a threshold yields zero results,
+    retry down the ladder 0.6/0.5/0.4/0.3; report threshold_used.  The
+    scoring is contrived so the top rungs are empty and the ladder
+    actually engages.  Driver-side loop over a cached score relation —
+    each rung is a cheap filter, not a recompute."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(1.0 / (1.0 + F.abs(F.col("n_chars") - 5000) / 100.0), 6).alias(
+            "score"
+        ),
+    ).persist()
+    try:
+        used = None
+        for th in [0.8, 0.6, 0.5, 0.4, 0.3]:
+            if scored.filter(F.col("score") >= th).limit(1).count() > 0:
+                used = th
+                break
+        out = (
+            scored.filter(F.col("score") >= used)
+            .withColumn("threshold_used", F.round(F.lit(used), 2))
+            .orderBy("doc_id")
+        )
+        out = out.localCheckpoint()  # materialize before unpersist
+        return out
+    finally:
+        scored.unpersist()
+
+
+# -------------------------------------------------------------------------
+# S14: composite git-log scan (date filter + anti-join + newest-first cut)
+# -------------------------------------------------------------------------
+
+
+@q(
+    "git_log_scan",
+    """
+    SELECT event_id, user_id, event_type FROM events e
+    WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND e.ts <  TIMESTAMP '2024-01-25 00:00:00'
+      AND NOT EXISTS (SELECT 1 FROM events i
+                      WHERE i.event_id = e.event_id AND i.event_id % 7 = 0)
+    ORDER BY e.ts DESC, e.event_id LIMIT 40
+    """,
+)
+def git_log_scan(spark, sf_dir):
+    """S14 (git/walker.rs:64-134): time-sorted newest-first walk, since/
+    until window, skip-set anti-join, max-count cut — composed from
+    P9 + J7 + T5."""
+    e = t(spark, sf_dir, "events")
+    indexed = e.filter(F.col("event_id") % 7 == 0).select("event_id")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        )
+        .join(indexed, "event_id", "left_anti")
+        .orderBy(F.desc("ts"), "event_id")
+        .select("event_id", "user_id", "event_type", "ts")
+        .limit(40)
+        .drop("ts")
+    )
+
+
+# -------------------------------------------------------------------------
+# A5: hash-cache build (per-root file->sha map, digested portably)
+# -------------------------------------------------------------------------
+
+
+@q(
+    "hash_cache_digest",
+    """
+    SELECT source,
+           md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || sha256(text), ','
+               ORDER BY doc_id)) AS cache_digest,
+           count(*) AS n_files
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def hash_cache_digest(spark, sf_dir):
+    """A5 (client/indexing/mod.rs:336-343): per root, the file->sha map
+    — digested as an ordered concat so the map is comparable across
+    engines without map-type hashing."""
+    d = t(spark, sf_dir, "documents")
+    entry = F.concat_ws(
+        "", F.col("doc_id").cast("string"), F.lit(":"), F.sha2("text", 256)
+    )
+    return (
+        d.select("source", "doc_id", entry.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("e")))
+                    ).e,
+                    ",",
+                )
+            ).alias("cache_digest"),
+            F.count("*").alias("n_files"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------------------------------
+# F12: visibility classifier
+# -------------------------------------------------------------------------
+
+
+@q(
+    "visibility_classifier",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '\\b(pub|public|export)\\b') THEN 'public'
+                WHEN regexp_matches(text, '\\b(protected|internal|package)\\b') THEN 'protected'
+                ELSE 'private' END AS visibility
+    FROM documents ORDER BY doc_id
+    """,
+)
+def visibility_classifier(spark, sf_dir):
+    """F12 (relations/types.rs:173-187): keyword-scan visibility."""
+    d = t(spark, sf_dir, "documents")
+    vis = (
+        F.when(F.col("text").rlike(r"\b(pub|public|export)\b"), "public")
+        .when(F.col("text").rlike(r"\b(protected|internal|package)\b"), "protected")
+        .otherwise("private")
+    )
+    return d.select("doc_id", vis.alias("visibility")).orderBy("doc_id")
