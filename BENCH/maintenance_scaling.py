@@ -40,30 +40,45 @@ from engine.tablefmt import Table
 
 cores = int(sys.argv[1])
 n_files = int(sys.argv[2])
+# IDENTICAL plan at both levels: shuffle partitions, output-file counts
+# and generation partitioning are pinned to the 4N level (32) so the
+# physical work is the same; only the executor-thread count differs —
+# exactly the N vs 4N cluster-size comparison.
 spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(cores, 8))
+                  shuffle_partitions=32)
 workdir = tempfile.mkdtemp(prefix=f"scale{{cores}}-")
 try:
     df = corpus.generate_corpus(spark, n_files=n_files, n_repos=50, skew=True,
-                                version_col=True, partitions=max(cores * 4, 32))
+                                version_col=True, partitions=128)
     df.persist().count()  # materialize input outside the timed window
+    phases = {{}}
     t0 = time.monotonic()
     t = Table.create(os.path.join(workdir, "corpus"))
     for i in range(4):
         tablefmt.append(spark, t,
                         df.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == i),
-                        num_files=8)
+                        num_files=32)
+    phases["append"] = time.monotonic() - t0
+    tm = time.monotonic()
     delta = corpus.bump_versions(df.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == 0))
     merge_into(spark, t, delta)
+    phases["merge"] = time.monotonic() - tm
+    tm = time.monotonic()
     r = compact(spark, t, target_bytes=64 * 1024 * 1024)
+    phases["compact"] = time.monotonic() - tm
+    tm = time.monotonic()
     cluster(spark, t, curve="zorder")
+    phases["cluster"] = time.monotonic() - tm
+    tm = time.monotonic()
     n = t.scan(spark).select(F.sha2("content", 256).alias("s")).count()
+    phases["scan"] = time.monotonic() - tm
     assert n == n_files, (n, n_files)
     elapsed = time.monotonic() - t0
     print(json.dumps({{"cores": cores, "seconds": elapsed,
                       "files_per_s": n_files / elapsed,
                       "bytes_rewritten": r.bytes_in,
-                      "bytes_per_s": r.bytes_in / elapsed}}))
+                      "bytes_per_s": r.bytes_in / elapsed,
+                      "phases": {{k: round(v, 2) for k, v in phases.items()}}}}))
 finally:
     shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()

@@ -36,6 +36,26 @@ STALE_AFTER_S = 2 * 3600  # /root/reference/src/client/indexing/mod.rs:848-850
 COMPLETE_FRACTION = 0.8  # /root/reference/src/client/indexing/mod.rs:867-947
 
 
+class DirtyTableError(Exception):
+    """A maintenance job is mid-flight (dirty units on disk)."""
+
+
+def assert_clean(table_root: str) -> None:
+    """Dirty-path guard (P8, /root/reference/src/client/mod.rs:301-315):
+    refuse an operation while any ledger in <root>/checkpoints has dirty
+    units — the caller should resume/finish that job first."""
+    import glob as _glob
+
+    for path in _glob.glob(os.path.join(table_root, "checkpoints", "*.json")):
+        job_id = os.path.splitext(os.path.basename(path))[0]
+        led = Ledger.open(table_root, job_id)
+        if led.has_dirty():
+            raise DirtyTableError(
+                f"table has in-flight maintenance job '{job_id}' with dirty "
+                "units; resume it (same job_id) or sweep before querying"
+            )
+
+
 class Validation(Enum):
     CLEAN = "clean"
     STALE = "stale"
@@ -178,6 +198,9 @@ class Ledger:
         if redo:
             self.save()
         return redo
+
+    def has_dirty(self) -> bool:
+        return any(u.state == "dirty" for u in self.units.values())
 
     # -- metrics ------------------------------------------------------------
     def totals(self) -> dict[str, int]:

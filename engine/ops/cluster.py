@@ -55,26 +55,42 @@ class ClusterResult:
     duration_s: float = 0.0
 
 
+def _boundaries_from_values(vals: list[str], bits: int) -> list[str]:
+    vals = sorted(set(vals))
+    if len(vals) <= 1:
+        return []
+    n_buckets = 1 << bits
+    step = max(1, len(vals) // n_buckets)
+    return vals[step::step][: n_buckets - 1]
+
+
 def _sample_boundaries(
     df: DataFrame, col: str, bits: int = BITS, max_sample: int = 200_000
 ) -> list[str]:
     """(2^bits - 1) order-preserving split points for a string column.
 
-    Executor-side distinct+sample; only ~2^bits values reach the driver.
+    Executor-side sample; only ~sample-size values reach the driver.
     """
-    n_buckets = 1 << bits
     total = df.count()
     if total == 0:
         return []
     frac = min(1.0, max_sample / max(total, 1))
-    sample = (
-        df.select(col).sample(fraction=frac, seed=42).distinct().orderBy(col).collect()
-    )
-    vals = [r[col] for r in sample]
-    if len(vals) <= 1:
-        return []
-    step = max(1, len(vals) // n_buckets)
-    return vals[step::step][: n_buckets - 1]
+    sample = df.select(col).sample(fraction=frac, seed=42).collect()
+    return _boundaries_from_values([r[col] for r in sample], bits)
+
+
+def _sample_boundaries_multi(
+    df: DataFrame, cols: list[str], bits: int = BITS, max_sample: int = 100_000
+) -> dict[str, list[str]]:
+    """ONE unbiased sampling pass for all cluster columns (vs one count +
+    one sample per column).  The count on an unfiltered parquet scan is
+    metadata-only; the sample touches every partition uniformly."""
+    total = df.count()
+    if total == 0:
+        return {c: [] for c in cols}
+    frac = min(1.0, max_sample / total)
+    sample = df.select(*cols).sample(fraction=frac, seed=42).collect()
+    return {c: _boundaries_from_values([r[c] for r in sample], bits) for c in cols}
 
 
 def _bucket_udf(boundaries: list[str], bits: int = BITS):
@@ -184,9 +200,8 @@ def cluster(
         num_files = max(1, round(sum(e.bytes for e in entries) / (128 * 1024 * 1024)))
 
     df = table.scan(spark)
-    rb = _sample_boundaries(df, "repo", bits)
-    pb = _sample_boundaries(df, "path", bits)
-    keyed = with_curve_key(df, curve, rb, pb, bits)
+    bounds = _sample_boundaries_multi(df.select("repo", "path"), ["repo", "path"], bits)
+    keyed = with_curve_key(df, curve, bounds["repo"], bounds["path"], bits)
     laid_out = keyed.repartitionByRange(num_files, "zkey").sortWithinPartitions("zkey")
 
     new_files = table.write_data_files(spark, laid_out.drop("zkey"))

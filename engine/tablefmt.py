@@ -178,14 +178,47 @@ def _atomic_write_json(path: str, obj: Any, exclusive: bool = False) -> None:
         os.replace(tmp, path)
 
 
+def _footer_stats_one(p: str, cols: list[str]) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(p).metadata
+    st: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in cols or c.statistics is None:
+                continue
+            s = c.statistics
+            if not s.has_min_max:
+                continue
+            mn, mx = s.min, s.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            if name in st:
+                st[name] = [min(st[name][0], mn), max(st[name][1], mx)]
+            else:
+                st[name] = [mn, mx]
+    return {"path": p, "rows": md.num_rows, "bytes": os.path.getsize(p), "stats": st}
+
+
+# Above this many files per write, stats collection moves to executors.
+DISTRIBUTED_STATS_THRESHOLD = 4096
+
+
 def _collect_file_stats(
     spark: SparkSession, abs_paths: list[str], stats_cols: Iterable[str] = STATS_COLS
 ) -> list[dict]:
-    """Footer-only stats for each parquet file, computed ON EXECUTORS.
+    """Footer-only stats for each parquet file (no data scan).
 
-    Distributes the file list and reads only parquet footers with
-    pyarrow (no data scan) — at 10^12-file scale this is the only
-    tenable way to build manifests; the driver never opens a data file.
+    Small batches (the per-commit common case): a driver thread pool —
+    footers are KB-sized, so this is pure metadata IO and costs the same
+    at every executor count.  Large batches (backfills/bulk rewrites):
+    distributed over executors via mapInPandas, which is the only
+    tenable shape at 10^12-file scale.
     Returns [{path, rows, bytes, stats:{col: [min,max]}}] aligned to input.
     """
     cols = list(stats_cols)
@@ -193,44 +226,23 @@ def _collect_file_stats(
     if n == 0:
         return []
 
+    if n <= DISTRIBUTED_STATS_THRESHOLD:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, n)) as pool:
+            return list(pool.map(lambda p: _footer_stats_one(p, cols), abs_paths))
+
     schema = "path string, rows long, bytes long, stats string"
 
     def footer_stats(iterator):
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for pdf in iterator:
             out = []
             for p in pdf["path"]:
-                md = pq.ParquetFile(p).metadata
-                st: dict[str, list] = {}
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci in range(g.num_columns):
-                        c = g.column(ci)
-                        name = c.path_in_schema
-                        if name not in cols or c.statistics is None:
-                            continue
-                        s = c.statistics
-                        if not s.has_min_max:
-                            continue
-                        mn, mx = s.min, s.max
-                        if isinstance(mn, bytes):
-                            mn = mn.decode("utf-8", "replace")
-                        if isinstance(mx, bytes):
-                            mx = mx.decode("utf-8", "replace")
-                        if name in st:
-                            st[name] = [min(st[name][0], mn), max(st[name][1], mx)]
-                        else:
-                            st[name] = [mn, mx]
-                out.append(
-                    {
-                        "path": p,
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(p),
-                        "stats": json.dumps(st),
-                    }
-                )
+                r = _footer_stats_one(p, cols)
+                r["stats"] = json.dumps(r["stats"])
+                out.append(r)
             yield pd.DataFrame(out)
 
     paths_df = spark.createDataFrame(
