@@ -1,0 +1,147 @@
+"""spark-submit entrypoint for table maintenance.
+
+Deployment shape per the target metric: one zip of the ``engine``
+package shipped with ``--py-files`` and this module as the driver::
+
+    zip -r engine.zip engine/
+    spark-submit --py-files engine.zip engine/jobs/maintain.py \
+        --table /data/corpus --op compact --target-mb 128 \
+        --job-id nightly-compact-2026-08-16
+
+Ops: append (from parquet input), merge (from parquet delta), compact,
+cluster (zorder|hilbert), rewrite-manifests, expire, sweep, verify.
+Every op prints a one-line JSON result; compaction is resumable by
+re-submitting with the same --job-id after a crash.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="lakehouse maintenance job")
+    p.add_argument("--table", required=True, help="table root directory")
+    p.add_argument(
+        "--op",
+        required=True,
+        choices=[
+            "create", "append", "merge", "compact", "cluster",
+            "rewrite-manifests", "expire", "sweep", "verify",
+        ],
+    )
+    p.add_argument("--input", help="parquet path (append/merge source)")
+    p.add_argument("--delete-missing", action="store_true")
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    p.add_argument("--retain-last", type=int, default=2)
+    p.add_argument("--job-id", default=None, help="checkpoint/resume identity")
+    p.add_argument("--num-files", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from ..checkpoint import assert_clean
+    from ..session import get_spark
+    from ..tablefmt import Table, append as tbl_append
+
+    spark = get_spark(app_name=f"maintain-{args.op}", master=args.master)
+
+    if args.op == "create":
+        Table.create(args.table)
+        print(json.dumps({"op": "create", "table": args.table}))
+        return 0
+
+    table = Table.load(args.table)
+    out: dict = {"op": args.op, "table": args.table}
+
+    if args.op == "append":
+        snap = tbl_append(
+            spark, table, spark.read.parquet(args.input), num_files=args.num_files
+        )
+        out.update(snap.summary, snapshot_id=snap.snapshot_id)
+    elif args.op == "merge":
+        from ..ops.merge import merge_with_retry
+
+        r = merge_with_retry(
+            spark,
+            table,
+            spark.read.parquet(args.input),
+            delete_missing=args.delete_missing,
+            num_files=args.num_files,
+        )
+        out.update(
+            rows_inserted=r.rows_inserted,
+            rows_updated=r.rows_updated,
+            rows_deleted=r.rows_deleted,
+            files_rewritten=r.files_rewritten,
+            snapshot_id=r.snapshot_id,
+        )
+    elif args.op == "compact":
+        from ..ops.compact import compact
+
+        r = compact(
+            spark,
+            table,
+            target_bytes=args.target_mb * 1024 * 1024,
+            job_id=args.job_id,
+        )
+        out.update(
+            files_in=r.files_in, files_out=r.files_out, bytes_in=r.bytes_in,
+            bytes_out=r.bytes_out, rows_rewritten=r.rows_rewritten,
+            snapshot_id=r.snapshot_id, seconds=round(r.duration_s, 2),
+            files_per_s=round(r.files_per_s, 1),
+        )
+    elif args.op == "cluster":
+        from ..ops.cluster import cluster
+
+        r = cluster(spark, table, curve=args.curve, num_files=args.num_files)
+        out.update(
+            curve=r.curve, files_in=r.files_in, files_out=r.files_out,
+            rows=r.rows, snapshot_id=r.snapshot_id, seconds=round(r.duration_s, 2),
+        )
+    elif args.op == "rewrite-manifests":
+        from ..ops.manifest import rewrite_manifests
+
+        r = rewrite_manifests(table)
+        out.update(
+            manifests_before=r.manifests_before, manifests_after=r.manifests_after,
+            snapshot_id=r.snapshot_id,
+        )
+    elif args.op == "expire":
+        from ..ops.expire import expire_snapshots
+
+        r = expire_snapshots(table, retain_last=args.retain_last)
+        out.update(
+            expired=r.expired_snapshots, retained=r.retained_snapshots,
+            orphans_deleted=r.orphans_deleted, bytes_reclaimed=r.bytes_reclaimed,
+        )
+    elif args.op == "sweep":
+        from ..ops.expire import sweep_orphan_files
+
+        n, b = sweep_orphan_files(table)
+        out.update(orphans_deleted=n, bytes_reclaimed=b)
+    elif args.op == "verify":
+        from pyspark.sql import functions as F
+
+        assert_clean(table.root)
+        row = (
+            table.scan(spark)
+            .agg(
+                F.count("*").alias("rows"),
+                F.bit_xor(
+                    F.xxhash64("repo", "path", "commit", F.sha2("content", 256))
+                ).alias("content_digest"),
+            )
+            .collect()[0]
+        )
+        out.update(rows=row["rows"], content_digest=row["content_digest"],
+                   snapshot_id=table.current_snapshot_id)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
