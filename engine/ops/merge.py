@@ -83,16 +83,21 @@ def merge_into(
     if not src_repos:
         return MergeResult(0, 0, 0, 0, 0, None)
 
-    tgt = table.scan(spark, pred=pred, with_file_path=True) if candidates else None
-
-    # join strategy: Catalyst + AQE pick broadcast at runtime when the
-    # delta is small (the common incremental case); sort-merge with skew
-    # splitting otherwise.  No forced hint so huge deltas stay safe.
-    src = source
-
-    if tgt is not None:
-        joined = tgt.alias("t").join(
-            src.alias("s"),
+    # KEY-ONLY classification: the diff join carries (repo, path, commit,
+    # _file) — never `content`.  The target side is a column-pruned
+    # parquet read (KBs per file) and the shuffle moves ~40-byte key rows
+    # instead of multi-KB documents; at 100 TB this is the difference
+    # between shuffling the key space and shuffling the corpus.  Content
+    # flows later, straight from touched files / the source delta.
+    # Catalyst + AQE pick broadcast at runtime when the delta is small
+    # (the common incremental case); sort-merge w/ skew splitting else.
+    src_keys = source.select(*KEY, "commit")
+    if candidates:
+        tgt_keys = table.scan(
+            spark, pred=pred, columns=None, with_file_path=True
+        ).select(*KEY, "commit", "_file")
+        joined = tgt_keys.alias("t").join(
+            src_keys.alias("s"),
             on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in KEY],
             how="full_outer",
         )
@@ -105,13 +110,13 @@ def merge_into(
         classified = joined.select(
             cls.alias("_op"),
             F.col("t._file").alias("_file"),
-            *[F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c) for c in COLS],
+            *[F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in KEY],
         )
     else:
-        classified = src.select(
+        classified = src_keys.select(
             F.lit("insert").alias("_op"),
             F.lit(None).cast("string").alias("_file"),
-            *[F.col(c) for c in COLS],
+            *KEY,
         )
 
     classified = classified.persist()
@@ -143,9 +148,13 @@ def merge_into(
         # rows to write = (all rows of touched files, minus updated/deleted
         # keys) + updated versions + inserts.  Touched files are re-read in
         # FULL (a physical file may hold rows outside the pruning predicate
-        # — those must survive the rewrite).  Untouched files are not read.
-        inserts = classified.filter(F.col("_op") == "insert").select(*COLS)
-        replacements = classified.filter(F.col("_op") == "update").select(*COLS)
+        # — those must survive the rewrite); untouched files are not read.
+        # Content for new/changed rows comes straight from the source via
+        # a broadcast semi-join on the delta-sized changed-key set.
+        write_keys = classified.filter(
+            F.col("_op").isin(["insert", "update"])
+        ).select(*KEY)
+        fresh = source.select(*COLS).join(F.broadcast(write_keys), KEY, "left_semi")
         if touched:
             import os as _os
 
@@ -158,9 +167,9 @@ def merge_into(
                 classified.filter(F.col("_op").isin(drop_ops)).select(*KEY).distinct()
             )
             survivors = full_touched.join(F.broadcast(drop_keys), KEY, "left_anti")
+            to_write = survivors.unionByName(fresh)
         else:
-            survivors = inserts.filter(F.lit(False))
-        to_write = survivors.unionByName(replacements).unionByName(inserts)
+            to_write = fresh
 
         new_files = table.write_data_files(spark, to_write, num_files=num_files)
         snap = table.commit(
