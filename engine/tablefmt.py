@@ -505,8 +505,6 @@ class Table:
         residual into the parquet reader for row-group pruning."""
         entries = self.files(as_of, pred)
         schema = self.schema
-        if with_file_path:
-            pass  # need input_file_name column appended below
         if not entries:
             empty = spark.createDataFrame([], schema)
             if with_file_path:
