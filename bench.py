@@ -54,16 +54,11 @@ HEADLINE_QUERIES = [
 def _prewarm_python_workers(spark) -> None:
     """Fork + import cost of the Python-worker pool is one-time cluster
     warmup (~50s cold at 32 workers) — pay it outside timed windows."""
-    import pandas as pd
-    from pyspark.sql import types as T
+    from engine.dedup import simhash_udf
 
-    @F.pandas_udf(T.IntegerType())
-    def _warm(s: pd.Series) -> pd.Series:
-        return s.str.len().astype("int32")
-
-    spark.range(0, 4096, numPartitions=128).select(
-        _warm(F.col("id").cast("string")).alias("x")
-    ).agg(F.sum("x")).collect()
+    spark.range(0, 1024, numPartitions=128).select(
+        simhash_udf(F.col("id").cast("string")).alias("x")
+    ).agg(F.count("x")).collect()
 
 
 def corpus_files_for_sf(sf: float) -> int:
