@@ -69,7 +69,7 @@ try:
                             data.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == i),
                             num_files=32)
         d = corpus.bump_versions(data.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == 0))
-        merge_into(spark, t, d)
+        merge_into(spark, t, d, num_files=64)
         r = compact(spark, t, target_bytes=target_bytes)
         cluster(spark, t, curve="zorder")
         n = t.scan(spark).select(F.sha2("content", 256).alias("s")).count()
@@ -100,13 +100,21 @@ try:
         ph["append"] = time.monotonic() - tm
         tm = time.monotonic()
         delta = corpus.bump_versions(df.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == 0))
-        merge_into(spark, t, delta)
+        # num_files pinned: without it AQE picks the COW output layout
+        # from runtime sizes, so the two levels would hand different
+        # file layouts (hence different work) to compaction
+        merge_into(spark, t, delta, num_files=64)
         ph["merge"] = time.monotonic() - tm
         tm = time.monotonic()
-        r = compact(spark, t, target_bytes=64 * 1024 * 1024)
+        # 16MB bins => ~26 bins at 400k files: enough write tasks to
+        # exercise 4N-way parallelism (one 64MB bin would cap at ~7)
+        r = compact(spark, t, target_bytes=16 * 1024 * 1024)
         ph["compact"] = time.monotonic() - tm
         tm = time.monotonic()
-        cluster(spark, t, curve="zorder")
+        # num_files pinned to 32 at both levels: identical output layout,
+        # and the range-shuffle write stage has >= 4N tasks (a 3-file
+        # layout would cap the write at 3 tasks and mask real scaling)
+        cluster(spark, t, curve="zorder", num_files=32)
         ph["cluster"] = time.monotonic() - tm
         tm = time.monotonic()
         n = t.scan(spark).select(F.sha2("content", 256).alias("s")).count()
