@@ -551,29 +551,32 @@ def broadcast_dim_join(spark, sf_dir):
     "range_containment_join",  # J5/J6: non-equi containment join
     """
     WITH spans AS (
-      SELECT r_regionkey AS span_id, r_regionkey * 20.0 AS lo,
-             r_regionkey * 20.0 + 19.99 AS hi
+      SELECT r_regionkey AS span_id,
+             CAST(r_regionkey * 20 AS BIGINT) AS lo,
+             CAST(r_regionkey * 20 + 20 AS BIGINT) AS hi
       FROM region
     )
     SELECT s.span_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
-    FROM events e JOIN spans s ON e.value >= s.lo AND e.value <= s.hi
+    FROM events e JOIN spans s ON e.value >= s.lo AND e.value < s.hi
     GROUP BY s.span_id ORDER BY s.span_id
     """,
 )
 def range_containment_join(spark, sf_dir):
+    # half-open integer bounds: fractional literals parse as DECIMAL in
+    # DuckDB but DOUBLE in Spark — boundary rows would diverge
     e = t(spark, sf_dir, "events")
     spans = (
         t(spark, sf_dir, "region")
         .select(
             F.col("r_regionkey").alias("span_id"),
-            (F.col("r_regionkey") * 20.0).alias("lo"),
-            (F.col("r_regionkey") * 20.0 + 19.99).alias("hi"),
+            (F.col("r_regionkey") * 20).cast("long").alias("lo"),
+            (F.col("r_regionkey") * 20 + 20).cast("long").alias("hi"),
         )
     )
     # small side broadcast => non-equi predicate evaluated as BNL join
     j = e.join(
         F.broadcast(spans),
-        (e.value >= spans.lo) & (e.value <= spans.hi),
+        (e.value >= spans.lo) & (e.value < spans.hi),
     )
     return (
         j.groupBy("span_id")
@@ -666,16 +669,16 @@ def distinct_dedup_by_key(spark, sf_dir):
     SELECT e.event_id FROM events e
     WHERE e.event_type = 'error'
       AND NOT EXISTS (SELECT 1 FROM region r
-                      WHERE e.value >= r.r_regionkey * 20.0
-                        AND e.value <  r.r_regionkey * 20.0 + 1.0)
+                      WHERE e.value >= CAST(r.r_regionkey * 20 AS BIGINT)
+                        AND e.value <  CAST(r.r_regionkey * 20 + 1 AS BIGINT))
     ORDER BY e.event_id
     """,
 )
 def anti_semi_exclusion(spark, sf_dir):
     e = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
     r = t(spark, sf_dir, "region").select(
-        (F.col("r_regionkey") * 20.0).alias("lo"),
-        (F.col("r_regionkey") * 20.0 + 1.0).alias("hi"),
+        (F.col("r_regionkey") * 20).cast("long").alias("lo"),
+        (F.col("r_regionkey") * 20 + 1).cast("long").alias("hi"),
     )
     return (
         e.join(F.broadcast(r), (e.value >= r.lo) & (e.value < r.hi), "left_anti")
