@@ -128,11 +128,26 @@ class Ledger:
             )
         return self.units[unit_id]
 
-    def mark_dirty(self, unit_id: str, now: float | None = None) -> None:
-        """MUST be called (and persisted) before writing unit output."""
+    def mark_dirty(
+        self,
+        unit_id: str,
+        now: float | None = None,
+        expected_paths: list[str] | None = None,
+    ) -> None:
+        """MUST be called (and persisted) before writing unit output.
+
+        ``expected_paths`` records where the unit WILL write (when the
+        writer knows its output paths up front) so that the COMPLETE
+        (>=80% present) recovery outcome can actually fire on a dirty
+        unit — without it, a dirty unit has no output evidence and
+        always validates CORRUPT (ADVICE round 1: the 3-outcome protocol
+        otherwise degenerates to redo-everything-dirty)."""
         u = self.units[unit_id]
         u.state = "dirty"
         u.dirty_ts = time.time() if now is None else now
+        if expected_paths is not None:
+            u.outputs = list(expected_paths)
+            u.expected_outputs = max(u.expected_outputs, len(expected_paths))
         self.save()
 
     def mark_clean(

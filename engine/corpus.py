@@ -136,13 +136,18 @@ def bump_versions(df: DataFrame, seed: int = 42) -> DataFrame:
     return with_content(out.drop("content", "commit"), seed)
 
 
-def corpus_digest(df: DataFrame) -> int:
+def corpus_digest(df: DataFrame) -> str:
     """Order-insensitive content digest of a corpus DataFrame.
 
     Per-row invariant from BASELINE.json: sha2(content, 256) — xor-free
     commutative sum of row hashes, so any maintenance op that preserves
-    row content preserves the digest.  Computed entirely JVM-side.
+    row content preserves the digest.  Computed entirely JVM-side; the
+    driver-side finalization is sha256 over the canonical (n, sum, xor)
+    string so digests compare across processes and runs (Python hash()
+    of a str is PYTHONHASHSEED-salted per process — ADVICE round 1).
     """
+    import hashlib
+
     row_hash = F.xxhash64(
         F.col("repo"), F.col("path"), F.col("commit"), F.sha2(F.col("content"), 256)
     )
@@ -151,4 +156,5 @@ def corpus_digest(df: DataFrame) -> int:
         F.sum(row_hash.cast("decimal(38,0)")).alias("s"),
         F.bit_xor(row_hash).alias("x"),
     ).collect()[0]
-    return hash((r["n"], str(r["s"]), r["x"]))
+    canon = f"{r['n']}|{r['s']}|{r['x']}"
+    return hashlib.sha256(canon.encode()).hexdigest()

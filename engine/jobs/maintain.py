@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--retain-last", type=int, default=2)
+    p.add_argument(
+        "--min-age-hours",
+        type=float,
+        default=72.0,
+        help="orphan-sweep grace period: unreferenced files younger than "
+        "this are kept (in-flight concurrent writers); 0 = sweep everything",
+    )
     p.add_argument("--job-id", default=None, help="checkpoint/resume identity")
     p.add_argument("--num-files", type=int, default=None)
     p.add_argument("--master", default=None)
@@ -112,7 +119,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "expire":
         from ..ops.expire import expire_snapshots
 
-        r = expire_snapshots(table, retain_last=args.retain_last)
+        r = expire_snapshots(
+            table,
+            retain_last=args.retain_last,
+            min_age_s=args.min_age_hours * 3600,
+        )
         out.update(
             expired=r.expired_snapshots, retained=r.retained_snapshots,
             orphans_deleted=r.orphans_deleted, bytes_reclaimed=r.bytes_reclaimed,
@@ -120,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "sweep":
         from ..ops.expire import sweep_orphan_files
 
-        n, b = sweep_orphan_files(table)
+        n, b = sweep_orphan_files(table, min_age_s=args.min_age_hours * 3600)
         out.update(orphans_deleted=n, bytes_reclaimed=b)
     elif args.op == "verify":
         from pyspark.sql import functions as F

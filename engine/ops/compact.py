@@ -128,17 +128,47 @@ def compact(
     order = [b for b in bin_ids if b in todo]
     by_id = dict(zip(bin_ids, bins))
 
+    # COMPLETE units (still "dirty" but kept by units_to_redo): the
+    # crash hit between output rename and mark_clean.  Outputs are whole
+    # files (rename is the last step) — trust them, recover metrics from
+    # parquet footers, and mark clean instead of rewriting
+    # (/root/reference/src/client/indexing/mod.rs:867-947's resume path).
+    import os
+
+    from ..tablefmt import _collect_file_stats
+
+    for u in [u for u in ledger.units.values() if u.state == "dirty"]:
+        abs_outs = [os.path.join(table.root, o) for o in u.outputs]
+        infos = _collect_file_stats(spark, abs_outs)
+        u.meta["stats"] = infos[0]["stats"]
+        u.meta["partition"] = by_id[u.unit_id][0].partition
+        ledger.mark_clean(
+            u.unit_id,
+            u.outputs,
+            sum(i["rows"] for i in infos),
+            sum(i["bytes"] for i in infos),
+            snapshot_id=base_snapshot,
+        )
+
     schema = table.schema
     batches = [order[i : i + bins_per_batch] for i in range(0, len(order), bins_per_batch)]
     for batch_no, batch in enumerate(batches):
         if fail_after_batches is not None and batch_no >= fail_after_batches:
             raise RuntimeError("simulated crash during compaction")
+        # pre-assign each bin's output path and record it on the dirty
+        # mark, so a crash between rename and mark_clean validates
+        # COMPLETE (outputs present) rather than CORRUPT
+        dst_by_bid = {
+            bid: os.path.join(table.data_dir, f"{uuid.uuid4().hex}.parquet")
+            for bid in batch
+        }
         for bid in batch:
-            ledger.mark_dirty(bid)
+            ledger.mark_dirty(
+                bid,
+                expected_paths=[os.path.relpath(dst_by_bid[bid], table.root)],
+            )
         # file -> bin lookup (metadata-sized, broadcast)
         lookup = []
-        import os
-
         for bid in batch:
             for e in by_id[bid]:
                 lookup.append((os.path.join(table.root, e.path), bid))
@@ -160,9 +190,8 @@ def compact(
             .mode("overwrite")
             .parquet(stage)
         )
-        # move each bin's output into data/, collect stats, ledger-clean
-        from ..tablefmt import _collect_file_stats
-
+        # move each bin's output into data/ (the pre-assigned path the
+        # ledger already knows), collect stats, ledger-clean
         moved: dict[str, str] = {}
         for bid in batch:
             bin_dir = os.path.join(stage, f"bin_id={bid}")
@@ -172,7 +201,7 @@ def compact(
                 if f.endswith(".parquet") and f.startswith("part-")
             ]
             assert len(parts) == 1, f"expected 1 file per bin, got {parts}"
-            dst = os.path.join(table.data_dir, f"{uuid.uuid4().hex}.parquet")
+            dst = dst_by_bid[bid]
             os.rename(os.path.join(bin_dir, parts[0]), dst)
             moved[bid] = dst
         _cleanup_dir(stage)

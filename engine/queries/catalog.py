@@ -176,11 +176,14 @@ def filter_glob(spark, sf_dir):
 @q(
     "size_cap",  # S3: skip files over max size
     """
-    SELECT count(*) AS kept, sum(n_chars) AS total_chars FROM documents
+    SELECT count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents
     WHERE length(text) <= 300
     """,
 )
 def size_cap(spark, sf_dir):
+    # DuckDB sum(BIGINT) yields HUGEINT (int128); Spark yields BIGINT.
+    # Values match but the driver's value-hash is type-sensitive — cast
+    # the oracle side (round-1 red row, VERDICT.md "What's wrong" #1).
     return (
         t(spark, sf_dir, "documents")
         .filter(F.length("text") <= 300)

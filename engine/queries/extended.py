@@ -214,7 +214,7 @@ def min_score_hybrid_filter(spark, sf_dir):
     "adaptive_threshold_ladder",
     """
     WITH scored AS (
-      SELECT doc_id, round(1.0 / (1.0 + abs(n_chars - 5000) / 100.0), 6) AS score
+      SELECT doc_id, round(0.3 + (doc_id % 20) * 0.01, 6) AS score
       FROM documents
     ), ladder AS (SELECT unnest([0.8, 0.6, 0.5, 0.4, 0.3]) AS th),
     counts AS (
@@ -231,16 +231,21 @@ def min_score_hybrid_filter(spark, sf_dir):
 )
 def adaptive_threshold_ladder(spark, sf_dir):
     """F14 (client/mod.rs:516-562): if a threshold yields zero results,
-    retry down the ladder 0.6/0.5/0.4/0.3; report threshold_used.  The
-    scoring is contrived so the top rungs are empty and the ladder
-    actually engages.  Driver-side loop over a cached score relation —
-    each rung is a cheap filter, not a recompute."""
+    retry down the ladder 0.6/0.5/0.4/0.3; report threshold_used.
+
+    Scores are a pure function of doc_id spanning [0.30, 0.49] — at
+    every scale factor the 0.8/0.6/0.5 rungs are empty and the 0.4 rung
+    is non-empty, so the ladder demonstrably engages (threshold_used =
+    0.4 < initial 0.8) and keeps roughly half the rows.  Round 1's
+    n_chars-based scoring was vacuous: zero rows on both engines, and a
+    None rung silently became a `score >= NULL` filter (VERDICT #2).
+    Driver-side loop over a cached score relation — each rung is a
+    cheap filter, not a recompute; all-rungs-empty returns an explicit
+    empty frame instead of filtering on NULL."""
     d = t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
-        F.round(1.0 / (1.0 + F.abs(F.col("n_chars") - 5000) / 100.0), 6).alias(
-            "score"
-        ),
+        F.round(0.3 + (F.col("doc_id") % 20) * 0.01, 6).alias("score"),
     ).persist()
     try:
         used = None
@@ -248,6 +253,11 @@ def adaptive_threshold_ladder(spark, sf_dir):
             if scored.filter(F.col("score") >= th).limit(1).count() > 0:
                 used = th
                 break
+        if used is None:  # every rung empty: explicit empty result
+            return (
+                scored.filter(F.lit(False))
+                .withColumn("threshold_used", F.lit(None).cast("double"))
+            )
         out = (
             scored.filter(F.col("score") >= used)
             .withColumn("threshold_used", F.round(F.lit(used), 2))

@@ -126,8 +126,11 @@ def _stats_may_match(stats: dict[str, list[Any]], pred: Predicate) -> bool:
             if not any(lo <= v <= hi for v in val):
                 return False
         elif op == "prefix":
-            # path-prefix pruning: [lo, hi] intersects [val, val+￿)
-            if not (lo <= val + "￿" and hi >= val):
+            # path-prefix pruning: a row with prefix `val` can exist iff
+            # hi >= val and lo's first len(val) codepoints don't already
+            # exceed val.  (A U+FFFF sentinel wrongly pruned files whose
+            # min contains astral-plane codepoints — ADVICE round 1.)
+            if not (lo[: len(val)] <= val <= hi):
                 return False
     return True
 

@@ -92,3 +92,22 @@ def test_units_to_redo_discards_partials(tmp_path):
     # finished unit untouched
     assert os.path.exists(os.path.join(root, "data/done.parquet"))
     assert led.units["partial"].state == "pending"
+
+
+def test_complete_via_mark_dirty_expected_paths(tmp_path):
+    """mark_dirty(expected_paths=...) makes the COMPLETE outcome real:
+    a crash after outputs landed but before mark_clean validates
+    COMPLETE, and units_to_redo keeps (does not discard) the unit."""
+    root = str(tmp_path)
+    led = Ledger.open(root, "job4")
+    now = time.time()
+    led.register("u", expected_outputs=2)
+    paths = ["data/x1.parquet", "data/x2.parquet"]
+    led.mark_dirty("u", now=now, expected_paths=paths)
+    # before any output exists: CORRUPT (must redo)
+    assert led.validate("u", root, now) == Validation.CORRUPT
+    for p in paths:
+        _touch(root, p)
+    assert led.validate("u", root, now) == Validation.COMPLETE
+    assert led.units_to_redo(root, now) == []
+    assert all(os.path.exists(os.path.join(root, p)) for p in paths)

@@ -98,3 +98,40 @@ def test_compact_is_idempotent(spark, fragmented):
     compact(spark, t, target_bytes=256 * 1024 * 1024)
     r2 = compact(spark, t, target_bytes=256 * 1024 * 1024)
     assert r2.snapshot_id is None  # single file left; nothing to pack
+
+
+def test_compact_recovers_complete_unit_without_rewrite(spark, fragmented):
+    """Crash between output rename and mark_clean: the unit validates
+    COMPLETE (outputs present via expected_paths) and the resumed run
+    trusts the file — recovering metrics from its footer — instead of
+    rewriting it."""
+    t, df = fragmented
+    digest_before = corpus.corpus_digest(t.scan(spark))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(
+            spark, t, target_bytes=64 * 1024, bins_per_batch=1,
+            job_id="job-y", fail_after_batches=1,
+        )
+    # simulate the narrower crash window: flip the finished unit back to
+    # dirty (as if mark_clean never ran) while its output file exists
+    import os
+    import time as _time
+
+    led = Ledger.open(t.root, "job-y")
+    done = [u for u in led.units.values() if u.state == "clean"]
+    assert done
+    u = done[0]
+    out_path = u.outputs[0]
+    mtime_before = os.path.getmtime(os.path.join(t.root, out_path))
+    u.state = "dirty"
+    u.dirty_ts = _time.time()
+    u.rows_written = 0
+    u.bytes_written = 0
+    led.save()
+
+    r = compact(spark, t, target_bytes=64 * 1024, bins_per_batch=1, job_id="job-y")
+    assert r.snapshot_id == t.current_snapshot_id
+    assert corpus.corpus_digest(t.scan(spark)) == digest_before
+    # the COMPLETE unit's output is in the committed snapshot, unrewritten
+    assert out_path in {e.path for e in t.files()}
+    assert os.path.getmtime(os.path.join(t.root, out_path)) == mtime_before

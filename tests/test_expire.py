@@ -28,7 +28,7 @@ def test_expire_chain_s0_s3(spark, tmp_path):
     digest_s3 = corpus.corpus_digest(t.scan(spark, as_of=s3))
 
     n_data_before = len(os.listdir(t.data_dir))
-    r = expire_snapshots(t, retain_last=1)
+    r = expire_snapshots(t, retain_last=1, min_age_s=0)
     assert r.retained_snapshots == [s3]
     assert 1 in r.expired_snapshots and 2 in r.expired_snapshots
     assert r.orphans_deleted > 0
@@ -51,10 +51,35 @@ def test_orphan_sweep_reclaims_uncommitted(spark, tmp_path):
     # a crashed writer: data files staged+moved, no commit
     t.write_data_files(spark, df, num_files=2)
     assert len(os.listdir(t.data_dir)) == 3
-    n, reclaimed = sweep_orphan_files(t)
+    # default grace period protects fresh (possibly in-flight) files
+    n0, _ = sweep_orphan_files(t)
+    assert n0 == 0 and len(os.listdir(t.data_dir)) == 3
+    # min_age_s=0: caller asserts no writer is in flight -> swept
+    n, reclaimed = sweep_orphan_files(t, min_age_s=0)
     assert n == 2 and reclaimed > 0
     assert len(os.listdir(t.data_dir)) == 1
     assert t.scan(spark).count() == 50
+
+
+def test_sweep_protects_ledger_outputs(spark, tmp_path):
+    """Outputs recorded in an active checkpoint ledger survive a sweep
+    even with min_age_s=0 — an in-flight resumable job's files must not
+    be reclaimed between its write and its commit (ADVICE round 1)."""
+    from engine.checkpoint import Ledger
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=50, n_repos=2, partitions=2)
+    tablefmt.append(spark, t, df, num_files=1)
+    files = t.write_data_files(spark, df, num_files=2)  # uncommitted
+    led = Ledger.open(t.root, "job-inflight")
+    led.register("u0", expected_outputs=len(files))
+    led.mark_dirty("u0", expected_paths=[f.path for f in files])
+    n, _ = sweep_orphan_files(t, min_age_s=0)
+    assert n == 0 and len(os.listdir(t.data_dir)) == 3
+    # once the ledger is gone, the same sweep reclaims them
+    led.delete()
+    n, _ = sweep_orphan_files(t, min_age_s=0)
+    assert n == 2
 
 
 def test_rewrite_manifests_preserves_scan(spark, tmp_path):

@@ -147,3 +147,70 @@ def test_snapshot_isolation_after_merge(spark, base, table):
     )
     merge_into(spark, table, delta)
     assert corpus.corpus_digest(table.scan(spark, as_of=1)) == digest_before
+
+
+def test_duplicate_source_keys_last_wins(spark, base, table):
+    """Two versions of one file in a single source batch (streaming
+    micro-batch reality): exactly one row per key survives; the highest
+    `version` wins when the source carries one (true last-writer-wins),
+    else max(commit) deterministically (ADVICE round 1 — without dedup
+    both rows landed in the table and broke the key invariant)."""
+    repo, path = _one_key(base)
+    row = base.filter((F.col("repo") == repo) & (F.col("path") == path))
+    v2 = corpus.bump_versions(row)
+    v3 = corpus.bump_versions(v2)
+    dup_source = v2.unionByName(v3)  # v2 + v3 same key, version column kept
+    assert dup_source.count() == 2
+    assert "version" in dup_source.columns
+
+    r = merge_into(spark, table, dup_source)
+    assert r.counts == (0, 1, 0)
+    assert table.total_rows() == N  # key invariant holds
+    got = (
+        table.scan(spark)
+        .filter((F.col("repo") == repo) & (F.col("path") == path))
+        .select("commit")
+        .collect()
+    )
+    want = v3.select("commit").collect()[0][0]  # version 3 wins
+    assert [g["commit"] for g in got] == [want]
+
+    # no version column: max(commit) is the deterministic winner
+    dup2 = corpus.bump_versions(v3).unionByName(
+        corpus.bump_versions(corpus.bump_versions(v3))
+    ).select("repo", "path", "commit", "lang", "content")
+    r2 = merge_into(spark, table, dup2)
+    assert r2.counts == (0, 1, 0)
+    got2 = (
+        table.scan(spark)
+        .filter((F.col("repo") == repo) & (F.col("path") == path))
+        .select("commit")
+        .collect()
+    )
+    want2 = dup2.agg(F.max("commit")).collect()[0][0]
+    assert [g["commit"] for g in got2] == [want2]
+
+
+def test_full_delta_merge(spark, base, table):
+    """Delta = 100% of the table: every row updates; no broadcast-size
+    assumption may hold (VERDICT round 1 fix #3 — the broadcast hints
+    are now gated on the computed delta size)."""
+    delta = corpus.bump_versions(base)
+    r = merge_into(spark, table, delta)
+    assert r.counts == (0, N, 0)
+    assert table.total_rows() == N
+    assert corpus.corpus_digest(table.scan(spark)) == corpus.corpus_digest(delta)
+
+
+def test_full_listing_delete_missing_merge(spark, base, table):
+    """delete_missing=True with a full listing that also updates
+    everything and drops 1/4 of the files — the big-delta shape of the
+    reference's incremental suite (ref tests.rs:326-373)."""
+    keep = corpus.bump_versions(base.filter(F.col("path").like("%0.%") == False))  # noqa: E712
+    n_keep = keep.count()
+    n_removed = N - n_keep
+    assert 0 < n_removed < N
+    r = merge_into(spark, table, keep, delete_missing=True)
+    assert r.counts == (0, n_keep, n_removed)
+    assert table.total_rows() == n_keep
+    assert corpus.corpus_digest(table.scan(spark)) == corpus.corpus_digest(keep)
