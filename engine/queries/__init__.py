@@ -1,2 +1,2 @@
-from . import extended, pipeline  # noqa: F401  (register query batches)
+from . import extended, pipeline, search  # noqa: F401  (register query batches)
 from .catalog import ORACLES, QUERIES  # noqa: F401

@@ -477,17 +477,22 @@ def merge_diff_classify(spark, sf_dir):
 
 @q(
     "rrf_fusion",  # J2/A4/F4/T3: reciprocal rank fusion of two ranked lists
-    """
+    r"""
     WITH vec AS (
       SELECT * FROM (
         SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
         FROM documents) WHERE rnk <= 60
     ), kw AS (
       SELECT * FROM (
-        SELECT doc_id,
-               row_number() OVER (
-                 ORDER BY len(regexp_extract_all(text, 'join')) DESC, doc_id) AS rnk
-        FROM documents) WHERE rnk <= 60
+        SELECT doc_id, row_number() OVER (ORDER BY
+                 (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) DESC,
+                 doc_id) AS rnk
+        FROM (SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\bjoin\b')) AS tf,
+                     len(string_split(text, ' ')) AS dl
+              FROM documents),
+             (SELECT avg(len(string_split(text, ' '))) AS avgdl FROM documents)
+      ) WHERE rnk <= 60
     ), unioned AS (
       SELECT doc_id, 1.0/(60+rnk) AS rrf FROM vec
       UNION ALL SELECT doc_id, 1.0/(60+rnk) FROM kw
@@ -497,6 +502,12 @@ def merge_diff_classify(spark, sf_dir):
     """,
 )
 def rrf_fusion(spark, sf_dir):
+    """RRF of a vector-proxy ranking and a REAL BM25 keyword ranking
+    (tf normalized by k1=1.2, b=0.75 length normalization — the idf
+    factor is constant for a single-term query and thus rank-invariant,
+    so it is omitted from the ordering key).  Round 1 fused a raw
+    substring-count proxy; the reference's keyword leg is Tantivy BM25
+    (/root/reference/src/bm25_search/mod.rs:183-217)."""
     d = t(spark, sf_dir, "documents")
     vec = (
         d.withColumn(
@@ -505,9 +516,23 @@ def rrf_fusion(spark, sf_dir):
         .filter(F.col("rnk") <= 60)
         .select("doc_id", "rnk")
     )
+    k1, b = 1.2, 0.75
+    kw_tf = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\bjoin\b"), F.lit(0))
+        ).alias("tf"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    avgdl = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
+        F.avg("dl").alias("avgdl")
+    )
+    bm25 = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
     kw = (
-        d.withColumn("m", F.size(F.regexp_extract_all("text", F.lit("join"), F.lit(0))))
-        .withColumn("rnk", F.row_number().over(W.orderBy(F.desc("m"), "doc_id")))
+        kw_tf.crossJoin(F.broadcast(avgdl))
+        .withColumn("rnk", F.row_number().over(W.orderBy(bm25.desc(), "doc_id")))
         .filter(F.col("rnk") <= 60)
         .select("doc_id", "rnk")
     )
