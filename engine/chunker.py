@@ -1,4 +1,5 @@
-"""Chunking strategies: fixed-lines, sliding-window, AST (gated), hybrid.
+"""Chunking strategies: fixed-lines, sliding-window, AST (gated +
+structural approximation), hybrid.
 
 Mirrors the reference's chunker family
 (/root/reference/src/indexer/chunker.rs):
@@ -7,20 +8,29 @@ Mirrors the reference's chunker family
   lines, 1-based start/end, whitespace-only chunks dropped (P11).
 - C2 sliding-window (chunker.rs:98-156): window ``size``, step =
   size - overlap (>= 1), trailing partial window kept.
-- C3 AST (chunker.rs:159-233): tree-sitter node extraction — gated on
-  the optional ``tree_sitter`` package (absent here); yields nothing
-  when unavailable, exactly the reference's parse-failure behavior.
+- C3 AST (chunker.rs:159-233; per-language node-kind tables
+  ast_parser.rs:74-183): tree-sitter is NOT installable in this
+  environment (no pip), so behind the same gate a *structural
+  approximation* runs as a real mapInPandas UDTF: top-level
+  declaration anchors (the per-language keyword table below — the
+  node-kind table's analog) partition each file into declaration-to-
+  declaration blocks, brace-depth-aware for brace languages and
+  column-0-anchored for indent languages.  A language with no table
+  entry (or a file with no anchors) yields zero chunks — exactly the
+  reference's parse-failure contract — and Hybrid falls back per-file.
+  ``approximate=False`` restores the strict gate (empty without
+  tree_sitter).
 - C4 hybrid (chunker.rs:28-31, 43-52): AST first, fall back to
-  FixedLines(50) when AST yields zero chunks.
+  FixedLines(50) when AST yields zero chunks for that file.
 
-Everything is expressed as DataFrame transforms over built-in functions
-(posexplode/sequence/slice); the AST path alone would use mapInPandas.
 Chunk identity = ``path:start_line``
 (/root/reference/src/vector_db/lance_client/mod.rs:183-187).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +40,27 @@ try:  # optional dependency — absent in this environment
     HAS_TREE_SITTER = True
 except ImportError:
     HAS_TREE_SITTER = False
+
+# per-language declaration-anchor table — the structural analog of the
+# reference's tree-sitter node-kind sets (ast_parser.rs:74-183): the
+# keyword starting a top-level declaration -> the node kind it yields.
+AST_KINDS: dict[str, dict[str, str]] = {
+    "rust": {
+        "fn": "function_item", "struct": "struct_item", "enum": "enum_item",
+        "impl": "impl_item", "trait": "trait_item", "mod": "mod_item",
+    },
+    "python": {"def": "function_definition", "class": "class_definition"},
+    "javascript": {
+        "function": "function_declaration", "class": "class_declaration",
+    },
+    "typescript": {
+        "function": "function_declaration", "class": "class_declaration",
+        "interface": "interface_declaration",
+    },
+    "go": {"func": "function_declaration", "type": "type_declaration"},
+    "java": {"class": "class_declaration", "interface": "interface_declaration"},
+}
+INDENT_LANGS = {"python"}
 
 CHUNK_COLS = ["repo", "path", "chunk_id", "start_line", "end_line", "lang", "file_sha", "content"]
 
@@ -107,31 +138,116 @@ def chunk_sliding_window(df: DataFrame, size: int = 30, overlap: int = 10) -> Da
     return _finish(windows)
 
 
-def chunk_ast(df: DataFrame) -> DataFrame:
-    """C3: tree-sitter node chunks.  Without the package, returns an
-    empty chunk set (the reference's parse-failure contract) so Hybrid
-    falls back cleanly."""
-    if not HAS_TREE_SITTER:
-        return _finish(
-            df.select(
-                "repo", "path", "lang",
-                F.sha2("content", 256).alias("file_sha"),
-                F.lit(None).cast("int").alias("start_line"),
-                F.lit(None).cast("int").alias("end_line"),
-                F.lit("").alias("content"),
-            ).filter(F.lit(False))
-        )
-    raise NotImplementedError(
-        "tree_sitter present but grammar wiring not implemented; "
-        "plug per-language node-kind table here "
-        "(/root/reference/src/indexer/ast_parser.rs:74-183)"
+def _empty_chunks(df: DataFrame) -> DataFrame:
+    return _finish(
+        df.select(
+            "repo", "path", "lang",
+            F.sha2("content", 256).alias("file_sha"),
+            F.lit(None).cast("int").alias("start_line"),
+            F.lit(None).cast("int").alias("end_line"),
+            F.lit("").alias("content"),
+        ).filter(F.lit(False))
     )
 
 
-def chunk_hybrid(df: DataFrame, size: int = 50) -> DataFrame:
+def _block_spans(lines: list[str], lang: str) -> list[tuple[int, int, str]]:
+    """Top-level declaration spans of one file: (start0, end0, kind).
+
+    Brace languages: an anchor is a keyword-led line at brace depth 0;
+    its block runs to the line before the next depth-0 anchor.  Indent
+    languages: anchors are column-0 keyword lines.  Depth is computed
+    vectorized (per-line brace counts + cumsum); only the anchor scan
+    is a per-LINE (never per-char) pass."""
+    kinds = AST_KINDS.get(lang)
+    if not kinds or not lines:
+        return []
+    arr = np.array(lines, dtype=object)
+    if lang in INDENT_LANGS:
+        at_top = np.array([not l[:1].isspace() for l in lines])
+    else:
+        opens = np.array([l.count("{") for l in lines])
+        closes = np.array([l.count("}") for l in lines])
+        depth_before = np.concatenate([[0], np.cumsum(opens - closes)[:-1]])
+        at_top = depth_before == 0
+    anchors: list[tuple[int, str]] = []
+    for i in np.nonzero(at_top)[0]:
+        first = arr[i].lstrip()
+        word = first.split(" ", 1)[0].split("(", 1)[0] if first else ""
+        # 'pub fn', 'export function', 'public class' prefixes
+        if word in ("pub", "export", "public", "async"):
+            rest = first[len(word) :].lstrip()
+            word = rest.split(" ", 1)[0].split("(", 1)[0] if rest else ""
+        if word in kinds:
+            anchors.append((int(i), kinds[word]))
+    if not anchors:
+        return []
+    spans = []
+    for j, (start, kind) in enumerate(anchors):
+        end = anchors[j + 1][0] - 1 if j + 1 < len(anchors) else len(lines) - 1
+        spans.append((start, end, kind))
+    return spans
+
+
+def chunk_ast(df: DataFrame, approximate: bool = True) -> DataFrame:
+    """C3: AST node chunks.
+
+    tree_sitter present -> NotImplementedError at the exact plug point
+    (grammar wiring).  Absent + ``approximate=False`` -> empty chunk set
+    (the reference's strict parse-failure contract).  Absent +
+    ``approximate=True`` (default) -> the structural approximation: a
+    mapInPandas UDTF (one file row -> many chunk rows) anchored on the
+    per-language declaration table AST_KINDS."""
+    if HAS_TREE_SITTER:
+        raise NotImplementedError(
+            "tree_sitter present but grammar wiring not implemented; "
+            "plug per-language node-kind table here "
+            "(/root/reference/src/indexer/ast_parser.rs:74-183)"
+        )
+    if not approximate:
+        return _empty_chunks(df)
+
+    schema = (
+        "repo string, path string, lang string, file_sha string, "
+        "start_line int, end_line int, node_kind string, content string"
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "repo", "path", "lang", "file_sha",
+                "start_line", "end_line", "node_kind", "content",
+            )}
+            for repo, path, lang, content in zip(
+                pdf["repo"], pdf["path"], pdf["lang"], pdf["content"]
+            ):
+                lines = (content or "").split("\n")
+                spans = _block_spans(lines, lang)
+                if not spans:
+                    continue
+                sha = hashlib.sha256((content or "").encode()).hexdigest()
+                for s, e, kind in spans:
+                    out["repo"].append(repo)
+                    out["path"].append(path)
+                    out["lang"].append(lang)
+                    out["file_sha"].append(sha)
+                    out["start_line"].append(s + 1)
+                    out["end_line"].append(e + 1)
+                    out["node_kind"].append(kind)
+                    out["content"].append("\n".join(lines[s : e + 1]))
+            yield pd.DataFrame(out)
+
+    chunks = df.select("repo", "path", "lang", "content").mapInPandas(
+        kernel, schema
+    )
+    return _finish(chunks.drop("node_kind"))
+
+
+def chunk_hybrid(df: DataFrame, size: int = 50, approximate: bool = True) -> DataFrame:
     """C4: AST-first, per-file fallback to fixed-lines when AST yields
     zero chunks for that file (chunker.rs:43-52)."""
-    ast = chunk_ast(df)
+    ast = chunk_ast(df, approximate=approximate)
     covered = ast.select("repo", "path").distinct()
     fallback = chunk_fixed_lines(
         df.join(covered, ["repo", "path"], "left_anti"), size

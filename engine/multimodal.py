@@ -88,33 +88,40 @@ def extract_features(
     feature row).  Arrow-batched; codec state would be initialized once
     per worker (the E1/E2 batching pattern)."""
 
+    cols = ["asset_id", "modality", "payload_sha", "feature", "feat_norm"]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-worker init happens HERE (load codec/model once) — stub: none
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                sha = hashlib.sha256(payload).hexdigest()
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real decoder (PIL/ffmpeg) not available in this "
-                        "environment; plug in here"
-                    )
-                # deterministic fake feature: bytes -> FEATURE_DIM floats
-                raw = np.frombuffer(
-                    hashlib.sha512(payload).digest(), dtype=np.uint8
-                )[: FEATURE_DIM * 2].astype(np.float32)
-                feat = (raw[:FEATURE_DIM] - 127.5) / 127.5
-                out.append(
-                    {
-                        "asset_id": row["asset_id"],
-                        "modality": row["modality"],
-                        "payload_sha": sha,
-                        "feature": feat.tolist(),
-                        "feat_norm": float(np.linalg.norm(feat)),
-                    }
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real decoder (PIL/ffmpeg) not available in this "
+                    "environment; plug in here"
                 )
-            yield pd.DataFrame(out)
+            # columnar kernel (no iterrows — round-1 VERDICT #4): the
+            # only per-item work left is the hashlib call itself (a C
+            # call over variable-length bytes — not numpy-expressible);
+            # ALL feature math below is one numpy pass over the batch.
+            payloads = [bytes(p) for p in pdf["payload"].to_numpy()]
+            shas = [hashlib.sha256(p).hexdigest() for p in payloads]
+            digests = np.frombuffer(
+                b"".join(hashlib.sha512(p).digest() for p in payloads),
+                dtype=np.uint8,
+            ).reshape(len(payloads), 64)
+            feats = (digests[:, :FEATURE_DIM].astype(np.float32) - 127.5) / 127.5
+            norms = np.linalg.norm(feats, axis=1).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "payload_sha": shas,
+                    "feature": feats.tolist(),
+                    "feat_norm": norms,
+                }
+            )
 
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 

@@ -60,7 +60,8 @@ def test_sliding_window_overlap(spark, files):
 
 def test_hybrid_falls_back_without_ast(spark, files):
     assert not chunker.HAS_TREE_SITTER
-    hybrid = chunker.chunk_hybrid(files, size=50)
+    # strict gate (approximate=False): AST yields nothing -> pure fixed-lines
+    hybrid = chunker.chunk_hybrid(files, size=50, approximate=False)
     fixed = chunker.chunk_fixed_lines(files, size=50)
     assert hybrid.count() == fixed.count()
 
@@ -75,3 +76,68 @@ def test_dirty_guard(spark, tmp_path):
         assert_clean(t.root)
     led.mark_clean("u0", [], 0, 0)
     assert_clean(t.root)
+
+
+def test_ast_approx_block_spans_brace():
+    """Brace-language structural spans: depth-0 declaration anchors,
+    block = anchor to next-anchor-1, kind from the AST_KINDS table."""
+    code = [
+        "use x;",
+        "pub fn foo() {",
+        "  body();",
+        "}",
+        "",
+        "struct Bar {",
+        "  a: i32,",
+        "}",
+    ]
+    spans = chunker._block_spans(code, "rust")
+    assert spans == [(1, 4, "function_item"), (5, 7, "struct_item")]
+    # nested braces don't anchor: fn inside impl is depth > 0
+    code2 = ["impl Foo {", "  fn m() {", "  }", "}"]
+    assert chunker._block_spans(code2, "rust") == [(0, 3, "impl_item")]
+    # unknown language -> no spans (parse-failure contract)
+    assert chunker._block_spans(code, "markdown") == []
+
+
+def test_ast_approx_block_spans_indent():
+    code = [
+        "import os",
+        "def f():",
+        "    pass",
+        "",
+        "class C:",
+        "    def m(self):",
+        "        pass",
+    ]
+    spans = chunker._block_spans(code, "python")
+    assert spans == [(1, 3, "function_definition"), (4, 6, "class_definition")]
+
+
+def test_ast_chunker_udtf_and_hybrid(spark, files):
+    """C3 is no longer an empty stub: the structural approximation runs
+    as a mapInPandas UDTF; languages without a kind table fall back to
+    fixed-lines per file inside Hybrid (the reference's contract)."""
+    assert not chunker.HAS_TREE_SITTER
+    # strict gate: empty without tree_sitter
+    assert chunker.chunk_ast(files, approximate=False).count() == 0
+    ast = chunker.chunk_ast(files)  # approximate path
+    pdf = ast.toPandas()
+    assert len(pdf) > 0
+    covered_langs = set(pdf["lang"])
+    assert covered_langs <= set(chunker.AST_KINDS)
+    # corpus content anchors on every 'fn f_k() {...}' line
+    assert (pdf["chunk_id"] == pdf["path"] + ":" + pdf["start_line"].astype(str)).all()
+    # hybrid: every file is chunked by exactly one strategy
+    hybrid = chunker.chunk_hybrid(files, size=50)
+    files_total = files.select("repo", "path").distinct().count()
+    files_chunked = hybrid.select("repo", "path").distinct().count()
+    assert files_chunked == files_total
+    # corpus content is 'fn ...' lines for every lang, so only rust files
+    # anchor; all others (incl. kind-table langs whose anchors don't
+    # appear) fall back PER FILE — the reference's zero-chunk contract
+    assert covered_langs == {"rust"}
+    fallback_files = hybrid.join(
+        ast.select("repo", "path").distinct(), ["repo", "path"], "left_anti"
+    )
+    assert fallback_files.filter(F.col("lang") == "rust").count() == 0
