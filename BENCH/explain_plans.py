@@ -105,6 +105,30 @@ def main() -> None:
         )
     )
 
+    # 6. BM25: tf columns projected in ONE content pass, tiny broadcasts
+    sections.append(
+        (
+            "BM25 top-k",
+            "per-term tfs computed as projected columns in one codegen'd scan "
+            "(one regexp per term per doc); df and corpus stats are broadcast "
+            "(BroadcastExchange of |terms| rows / 1 row); the only shuffle "
+            "carries (doc_id, term, tf) short rows:",
+            cap(QUERIES["bm25_topk"](spark, SF_DIR)),
+        )
+    )
+
+    # 7. MinHash bands: no row multiplication before aggregation
+    sections.append(
+        (
+            "MinHash-LSH band dedup",
+            "all 8 band minima are aggregate columns of ONE groupBy over the "
+            "shingle relation (no crossJoin with a band table — round 1 "
+            "multiplied the shingle relation 8x); the trailing explode is "
+            "8 rows per doc:",
+            cap(QUERIES["dedup_minhash_bands"](spark, SF_DIR)),
+        )
+    )
+
     out = ["# Physical-plan evidence (explain formatted)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")

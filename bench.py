@@ -39,6 +39,7 @@ HEADLINE_QUERIES = [
     "pricing_summary",
     "revenue_by_nation",
     "rrf_fusion",
+    "bm25_topk",
     "merge_diff_classify",
     "dedup_exact",
     "dedup_minhash_bands",

