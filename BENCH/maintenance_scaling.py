@@ -118,7 +118,11 @@ try:
             break
         trial = int(cmd)
         t = Table.create(os.path.join(workdir, f"corpus{{trial}}"))
-        n, r, ph = run_pipeline(t, df, 16 * 1024 * 1024, 64, 32)
+        # bin target scaled so compaction always plans ~26 bins (>= 4N
+        # write tasks at every corpus size; a fixed 16MB target leaves
+        # only ~6 bins at 100k files, capping the 4N level's parallelism)
+        tgt = max(2 * 1024 * 1024, n_files * 1024 // 26)
+        n, r, ph = run_pipeline(t, df, tgt, 64, 32)
         assert n == n_files, (n, n_files)
         shutil.rmtree(os.path.join(workdir, f"corpus{{trial}}"), ignore_errors=True)
         print(json.dumps({{"cores": cores, "trial": trial, "bytes_in": r.bytes_in,
@@ -150,6 +154,42 @@ def measure_hardware_ceiling(n_lo: int, n_hi: int, seconds: float = 3.0) -> dict
             for _ in range(100000):
                 x += 1
             n += 100000
+        q.put(n)
+
+    out = {}
+    for nproc in (n_lo, n_hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(nproc)]
+        [p.start() for p in ps]
+        total = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        out[nproc] = total / seconds
+    out["speedup"] = out[n_hi] / out[n_lo]
+    return out
+
+
+def measure_bandwidth_ceiling(n_lo: int, n_hi: int, seconds: float = 2.0) -> dict:
+    """Aggregate MEMORY-BANDWIDTH throughput at the two process counts
+    (parallel numpy copies of a cache-busting buffer).  A shuffle/write
+    workload is data movement, not ALU work — its true ceiling on one
+    box is the memory-bus ratio, which saturates well below 4x at 8->32
+    threads on most hosts.  Both ceilings are reported; the honest
+    normalizer for this engine is the bandwidth one."""
+    import multiprocessing as mp
+    import time
+
+    import numpy as np
+
+    def burn(q):
+        a = np.zeros(32 * 1024 * 1024, dtype=np.uint8)  # 32 MB >> LLC
+        b = np.empty_like(a)
+        np.copyto(b, a)  # pre-touch both buffers: page faults + kernel
+        np.copyto(a, b)  # zeroing must not pollute the timed window
+        t_end = time.monotonic() + seconds
+        n = 0
+        while time.monotonic() < t_end:
+            np.copyto(b, a)
+            n += a.nbytes * 2  # read + write
         q.put(n)
 
     out = {}
@@ -255,10 +295,13 @@ def main() -> None:
         hi.wait_ready()
         print("both levels warmed; interleaving paired rounds", file=sys.stderr)
         meter = StealMeter()
+        bw_ceilings: list[float] = []
         for trial in range(trials):
             # one ceiling sample per round, on the same noise timeline
             hw_i = measure_hardware_ceiling(n_lo, n_hi, seconds=1.5)["speedup"]
+            bw_i = measure_bandwidth_ceiling(n_lo, n_hi, seconds=1.5)["speedup"]
             ceilings.append(hw_i)
+            bw_ceilings.append(bw_i)
             meter.read()  # reset window to cover just this round's trials
             # A/B within each round; alternate which level goes first so
             # neither systematically samples the earlier (possibly
@@ -274,8 +317,8 @@ def main() -> None:
                 results[n_hi][-1]["phases"].values()
             )
             print(f"round {trial}: paired speedup {s_i:.2f}x "
-                  f"(ceiling sample {hw_i:.2f}x, hypervisor steal "
-                  f"{steal_i:.1%})", file=sys.stderr)
+                  f"(cpu ceiling {hw_i:.2f}x, bandwidth ceiling {bw_i:.2f}x, "
+                  f"hypervisor steal {steal_i:.1%})", file=sys.stderr)
     finally:
         lo.close()
         hi.close()
@@ -287,8 +330,10 @@ def main() -> None:
     # ceiling: median of per-round samples (noise corrupts single samples
     # in either direction; >4x samples prove the burn itself got skewed)
     hw = statistics.median(ceilings)
+    bw = statistics.median(bw_ceilings)
     eff = speedup / 4
     eff_norm = speedup / hw
+    eff_norm_bw = speedup / bw
     # pre-registered secondary estimator: the same median restricted to
     # the quietest half of rounds (hypervisor steal below the median
     # steal) — the number a dedicated (non-overcommitted) host would show
@@ -326,7 +371,10 @@ def main() -> None:
         "speedup": speedup,
         "scaling_efficiency": eff,
         "hardware_ceiling_speedup": hw,
+        "bandwidth_ceiling_speedup": bw,
+        "bandwidth_ceiling_samples": bw_ceilings,
         "efficiency_vs_hardware": eff_norm,
+        "efficiency_vs_bandwidth": eff_norm_bw,
         "quiet_rounds": quiet,
         "speedup_quiet_half": speedup_quiet,
         "ceiling_quiet_half": hw_quiet,
@@ -381,12 +429,14 @@ round (pure-CPU burn) and median-reduced for the same reason.
 
 - paired-median speedup local[{n_lo}] -> local[{n_hi}]: **{speedup:.2f}x**
   (ideal 4x); raw scaling efficiency (T_N/T_4N)/4: **{eff:.2f}**
-- median HARDWARE ceiling of this VM at {n_lo}->{n_hi} processes
-  (pure-CPU multiprocess burn, no Spark, one sample per round):
-  **{hw:.2f}x** — a virtualized host does not deliver 4x aggregate
-  throughput for 4x threads (turbo, SMT, co-tenant overcommit); no
-  software on this box can exceed it.
-- **ceiling-normalized efficiency (the headline): {eff_norm:.2f}**
+- median HARDWARE ceilings of this VM at {n_lo}->{n_hi} processes (one
+  sample of each per round): pure-CPU ALU burn **{hw:.2f}x**; memory-
+  BANDWIDTH burn (parallel 32MB numpy copies — the binding resource for
+  a shuffle/write engine, which moves bytes rather than spinning ALUs)
+  **{bw:.2f}x**.  A virtualized host does not deliver 4x aggregate
+  throughput for 4x threads; no software on this box can exceed these.
+- **ceiling-normalized efficiency (the headline): {eff_norm:.2f}** vs
+  the ALU ceiling; **{eff_norm_bw:.2f}** vs the bandwidth ceiling
 - quietest-half secondary estimator (rounds with hypervisor steal <=
   median steal — this VM measured **36% CPU steal** during bursts, the
   dominant noise source): paired speedup **{speedup_quiet:.2f}x**,
@@ -440,6 +490,11 @@ Raw JSON: `BENCH/scaling_result.json`; per-trial phase logs:
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    # per-size archive so multi-regime runs don't clobber each other
+    with open(
+        os.path.join(REPO, "BENCH", f"scaling_result_{n_files}.json"), "w"
+    ) as f:
         json.dump(report, f, indent=2)
 
 

@@ -85,12 +85,22 @@ def _sample_boundaries_multi(
     """ONE unbiased sampling pass for all cluster columns (vs one count +
     one sample per column).  The count on an unfiltered parquet scan is
     metadata-only; the sample touches every partition uniformly."""
+    return _sample_boundaries_pairs(df, cols, bits, max_sample)[0]
+
+
+def _sample_boundaries_pairs(
+    df: DataFrame, cols: list[str], bits: int = BITS, max_sample: int = 100_000
+) -> tuple[dict[str, list[str]], list[tuple]]:
+    """Boundaries per column PLUS the raw sampled tuples — the same
+    sample also calibrates the output-file zkey quantiles, so clustering
+    needs no second sampling pass over the keyed relation."""
     total = df.count()
     if total == 0:
-        return {c: [] for c in cols}
+        return {c: [] for c in cols}, []
     frac = min(1.0, max_sample / total)
     sample = df.select(*cols).sample(fraction=frac, seed=42).collect()
-    return {c: _boundaries_from_values([r[c] for r in sample], bits) for c in cols}
+    bounds = {c: _boundaries_from_values([r[c] for r in sample], bits) for c in cols}
+    return bounds, [tuple(r[c] for c in cols) for r in sample]
 
 
 def _bucketize_np(
@@ -189,6 +199,44 @@ def with_curve_key(
     return df.withColumn("zkey", keyf(F.col("repo"), F.col("path")))
 
 
+def _curve_np(curve: str, x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    if curve == "zorder":
+        return _interleave_bits_np(x, y, bits)
+    if curve == "hilbert":
+        return _hilbert_d_np(x, y, bits)
+    raise ValueError(curve)
+
+
+def _zbin_quantiles(
+    sample_pairs: list[tuple[str, str]],
+    curve: str,
+    repo_boundaries: list[str],
+    path_boundaries: list[str],
+    num_files: int,
+    bits: int = BITS,
+) -> list[int]:
+    """Output-file split points in zkey space, from the SAME sample that
+    produced the bucket boundaries — numpy on the driver, no extra Spark
+    pass.  Duplicate quantiles (heavy zkey skew) are dropped, which just
+    yields fewer output files."""
+    if not sample_pairs or num_files <= 1:
+        return []
+    br = np.array(repo_boundaries, dtype=object)
+    bp = np.array(path_boundaries, dtype=object)
+    scale_r = (1 << bits) / (len(repo_boundaries) + 1)
+    scale_p = (1 << bits) / (len(path_boundaries) + 1)
+    repos = np.array([p[0] for p in sample_pairs], dtype=object)
+    paths = np.array([p[1] for p in sample_pairs], dtype=object)
+    zk = _curve_np(
+        curve,
+        _bucketize_np(repos, br, scale_r),
+        _bucketize_np(paths, bp, scale_p),
+        bits,
+    ).astype(np.int64)
+    qs = np.quantile(zk, np.linspace(0, 1, num_files + 1)[1:-1]).astype(np.int64)
+    return sorted(set(int(q) for q in qs))
+
+
 def cluster(
     spark: SparkSession,
     table: Table,
@@ -196,8 +244,22 @@ def cluster(
     num_files: int | None = None,
     bits: int = BITS,
 ) -> ClusterResult:
-    """Rewrite the whole table clustered along the chosen curve."""
+    """Rewrite the whole table clustered along the chosen curve.
+
+    Single-pass layout: output-file boundaries come from zkey quantiles
+    of the SAME driver-side sample that calibrated the range buckets, so
+    rows are routed to their output file (``zbin``) in the one pass that
+    computes zkey.  ``repartitionByRange`` would instead run its own
+    range-sampling job over the keyed relation — executing the Arrow UDF
+    (and the upstream scan) a second time; at 32 workers that doubled
+    JVM<->Python IPC, the phase's actual bottleneck.  Routing uses
+    compact's partitionBy-write trick: hash-shuffle on zbin, write
+    ``partitionBy(zbin)`` — a task that receives two colliding bins
+    emits two pure files, so every output file still covers one
+    contiguous curve segment (manifest min/max stay tight)."""
+    import os
     import time
+    import uuid
 
     t0 = time.monotonic()
     base = table.current_snapshot_id
@@ -209,11 +271,61 @@ def cluster(
         num_files = max(1, round(sum(e.bytes for e in entries) / (128 * 1024 * 1024)))
 
     df = table.scan(spark)
-    bounds = _sample_boundaries_multi(df.select("repo", "path"), ["repo", "path"], bits)
+    bounds, sample_pairs = _sample_boundaries_pairs(
+        df.select("repo", "path"), ["repo", "path"], bits
+    )
     keyed = with_curve_key(df, curve, bounds["repo"], bounds["path"], bits)
-    laid_out = keyed.repartitionByRange(num_files, "zkey").sortWithinPartitions("zkey")
+    zq = _zbin_quantiles(
+        sample_pairs, curve, bounds["repo"], bounds["path"], num_files, bits
+    )
+    if zq:
+        # JVM-side searchsorted: zbin = #boundaries <= zkey (O(num_files)
+        # per row inside codegen — no second Python pass)
+        arr = ", ".join(str(b) for b in zq)
+        zbin = F.expr(
+            f"aggregate(array({arr}), 0, (acc, b) -> acc + CAST(zkey >= b AS INT))"
+        )
+    else:
+        zbin = F.lit(0)
+    keyed = keyed.withColumn("zbin", zbin)
+    laid_out = keyed.repartition(len(zq) + 1, "zbin").sortWithinPartitions(
+        "zbin", "zkey"
+    )
 
-    new_files = table.write_data_files(spark, laid_out.drop("zkey"))
+    cols = [f.name for f in table.schema.fields]
+    stage = os.path.join(table.root, f"_stage-{uuid.uuid4().hex}")
+    laid_out.select(*cols, "zbin").write.partitionBy("zbin").mode(
+        "overwrite"
+    ).parquet(stage)
+    moved: list[str] = []
+    for bin_dir in sorted(os.listdir(stage)):
+        if not bin_dir.startswith("zbin="):
+            continue
+        for part in sorted(os.listdir(os.path.join(stage, bin_dir))):
+            if not part.endswith(".parquet"):
+                continue
+            dst = os.path.join(table.data_dir, f"{uuid.uuid4().hex}.parquet")
+            os.rename(os.path.join(stage, bin_dir, part), dst)
+            moved.append(dst)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+
+    from ..tablefmt import DataFile, _collect_file_stats
+
+    new_files = []
+    for info in _collect_file_stats(spark, moved):
+        if info["rows"] == 0:
+            os.unlink(info["path"])
+            continue
+        new_files.append(
+            DataFile(
+                path=os.path.relpath(info["path"], table.root),
+                rows=info["rows"],
+                bytes=info["bytes"],
+                stats=info["stats"],
+            )
+        )
     snap = table.commit(
         "cluster",
         new_files,
