@@ -45,7 +45,6 @@ PHASES = ["append", "merge", "compact", "cluster", "scan"]
 WORKER = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
-os.environ["SPARK_DRIVER_MEM"] = "24g"  # two concurrent JVMs share the host
 from pyspark.sql import functions as F
 from engine import corpus, tablefmt
 from engine.ops.cluster import cluster
@@ -56,12 +55,29 @@ from engine.tablefmt import Table
 
 cores = int(sys.argv[1])
 n_files = int(sys.argv[2])
+# Memory scales WITH the simulated cluster size: a real 4N-executor
+# cluster has 4x the total heap of the N-executor one (per-executor
+# memory is fixed; executor count quadruples).  A shared fixed heap
+# would memory-starve the 4N level — 4x the allocation rate into the
+# same old gen forces full GCs inside the biggest phases, which is a
+# local-mode artifact, not an engine property.  1.5 GB per core mirrors
+# a typical executor's per-core memory.
+os.environ["SPARK_DRIVER_MEM"] = f"{{max(12, int(cores * 1.5))}}g"
+# GC shaped like a real node: ParallelGCThreads = the node's cores (the
+# JVM default gave the 8-thread level 23 GC threads — free parallelism a
+# real 8-core executor doesn't have), and NewRatio=1 (half the heap
+# young) because this workload is allocation-heavy short-lived codegen
+# rows — at 32 task threads the default young gen filled in <1s and
+# promotion pressure produced observed full-GC storms (all GC threads
+# pegged 99.9% for seconds, thread dumps in BENCH logs).
+gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={{cores}} -XX:NewRatio=1"
 # IDENTICAL plan at both levels: shuffle partitions, output-file counts
 # and generation partitioning are pinned to the 4N level (32) so the
 # physical work is the same; only the executor-thread count differs —
 # exactly the N vs 4N cluster-size comparison.
 spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=32)
+                  shuffle_partitions=32,
+                  extra_conf={{"spark.driver.extraJavaOptions": gc_opts}})
 workdir = tempfile.mkdtemp(prefix=f"scale{{cores}}-")
 try:
     # NOT persisted: the generator is pure whole-stage-codegen and fuses
@@ -112,11 +128,24 @@ try:
                  64 * 1024 * 1024, 64, 32)
     print(json.dumps({{"ready": cores}}), flush=True)
 
+    from engine.ops.cluster import _zkey_udf
+    _keyf = _zkey_udf("zorder", ["m"], ["m"])
+
     for line in sys.stdin:
         cmd = line.strip()
         if not cmd or cmd == "quit":
             break
         trial = int(cmd)
+        # Python-worker keepalive: workers idle out between interleaved
+        # trials (the other level runs for minutes in between), and a
+        # re-fork of the pool is ~4x costlier at 4N workers — that's
+        # cluster PROVISIONING cost, which the throughput metric must
+        # exclude (it was landing inside the 4N cluster phase, making
+        # local[32] look slower than local[8]).  One tiny UDF job right
+        # before the timed window re-warms the pool at both levels.
+        spark.range(0, 256, numPartitions=2 * cores).select(
+            _keyf(F.col("id").cast("string"), F.col("id").cast("string"))
+        ).count()
         t = Table.create(os.path.join(workdir, f"corpus{{trial}}"))
         # bin target scaled so compaction always plans ~26 bins (>= 4N
         # write tasks at every corpus size; a fixed 16MB target leaves

@@ -55,11 +55,20 @@ class ClusterResult:
     duration_s: float = 0.0
 
 
+# boundary-list cap: bucket GRANULARITY only needs ~64x the output-file
+# count for tight min/max stats; the ids are still scaled to the full
+# 2^bits key space.  An uncapped list (up to 2^16 strings per dimension
+# from a 100k sample) made the UDF's searchsorted run Python-level
+# object comparisons over 65k-entry arrays — the measured cluster-phase
+# hotspot — and shipped a ~10MB closure to every worker.
+MAX_BOUNDARIES = 4096
+
+
 def _boundaries_from_values(vals: list[str], bits: int) -> list[str]:
     vals = sorted(set(vals))
     if len(vals) <= 1:
         return []
-    n_buckets = 1 << bits
+    n_buckets = min(1 << bits, MAX_BOUNDARIES)
     step = max(1, len(vals) // n_buckets)
     return vals[step::step][: n_buckets - 1]
 
@@ -112,10 +121,17 @@ def _bucketize_np(
     dimension (few repos) occupies only the curve's low bits and the
     other dimension dominates the sort order, destroying its pruning
     power.  Equal widths give each dimension equal say in the curve.
+
+    Both sides are compared as fixed-width numpy unicode ('U') arrays:
+    searchsorted over object-dtype strings falls back to per-element
+    Python richcompare (measured hotspot); 'U' arrays compare in C.
     """
     if len(boundaries) == 0:
         return np.zeros(len(values), dtype=np.int64)
-    idx = np.searchsorted(boundaries, values, side="right")
+    idx = np.searchsorted(
+        np.asarray(boundaries, dtype="U"), np.asarray(values, dtype="U"),
+        side="right",
+    )
     return np.floor(idx * scale).astype(np.int64)
 
 
