@@ -21,7 +21,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from engine import corpus, tablefmt  # noqa: E402
-from engine.ops.cluster import _sample_boundaries, with_curve_key  # noqa: E402
+from engine.ops.cluster import with_curve_key  # noqa: E402
 from engine.queries import QUERIES  # noqa: E402
 from engine.session import get_spark  # noqa: E402
 from engine.tablefmt import Table  # noqa: E402
@@ -64,16 +64,31 @@ def main() -> None:
             )
         )
 
-        # 2. clustering layout plan: single range shuffle
-        rb = _sample_boundaries(df, "repo")
-        pb = _sample_boundaries(df, "path")
-        keyed = with_curve_key(df, "zorder", rb, pb)
-        layout = keyed.repartitionByRange(8, "zkey").sortWithinPartitions("zkey")
+        # 2. clustering layout plan: one UDF pass + one hash exchange
+        from engine.ops.cluster import _sample_boundaries_pairs, _zbin_quantiles
+
+        bounds, pairs = _sample_boundaries_pairs(
+            df.select("repo", "path"), ["repo", "path"]
+        )
+        keyed = with_curve_key(df, "zorder", bounds["repo"], bounds["path"])
+        zq = _zbin_quantiles(pairs, "zorder", bounds["repo"], bounds["path"], 8)
+        arr = ", ".join(str(b) for b in zq)
+        keyed = keyed.withColumn(
+            "zbin",
+            F.expr(
+                f"aggregate(array({arr}), 0, (acc, b) -> acc + CAST(zkey >= b AS INT))"
+            ),
+        )
+        layout = keyed.repartition(len(zq) + 1, "zbin").sortWithinPartitions(
+            "zbin", "zkey"
+        )
         sections.append(
             (
-                "Z-order layout write plan",
-                "one RangePartitioning exchange + in-partition sort — no global sort; "
-                "curve key computed in a single ArrowEvalPython (vectorized UDF) node:",
+                "Z-order layout write plan (single-pass quantile routing)",
+                "curve key in ONE ArrowEvalPython (vectorized UDF) node; output-"
+                "file routing (zbin) is a JVM codegen'd searchsorted over driver-"
+                "sampled quantiles — no range-sampler second pass; one hash "
+                "exchange + in-partition sort, no global sort:",
                 cap(layout),
             )
         )

@@ -32,16 +32,29 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = max(8, n)
 
+    # GC sized to the task-thread count.  Measured on this class of
+    # workload (allocation-heavy codegen'd string pipelines):
+    # - G1 (the JDK default) ran 27x slower than ParallelGC at local[32];
+    # - ParallelGC with the DEFAULT young gen produced full-GC storms at
+    #   32 task threads (all GC threads pegged for seconds — 4x the
+    #   allocation rate overruns the young gen and promotion pressure
+    #   forces stop-the-world full collections).  NewRatio=1 (half the
+    #   heap young) fits short-lived row churn; GC threads match the
+    #   task threads like a real executor's core count.
+    m = master or ""
+    n_threads = os.cpu_count() or 8
+    if m.startswith("local[") and m[6:-1].isdigit():
+        n_threads = int(m[6:-1])
+    gc_opts = (
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, n_threads)} "
+        "-XX:NewRatio=1"
+    )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # Throughput GC: G1 (the JDK default) degrades badly under many
-        # allocation-heavy task threads in virtualized environments —
-        # measured 27x slower than ParallelGC at local[32] on this box
-        # for codegen'd string-heavy pipelines.  ParallelGC is the right
-        # choice for batch/throughput workloads on executors generally.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executor.extraJavaOptions", gc_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
