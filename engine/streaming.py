@@ -32,12 +32,17 @@ def ingest_stream(
     table: Table,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    output_mode: str = "append",
 ):
     """Attach a MERGE-INTO sink to a streaming corpus DataFrame.
 
     Returns the started StreamingQuery.  Each micro-batch is one
     atomic snapshot commit; batch replay after a crash is absorbed by
     commit-equality (MERGE no-op), so the pipeline is idempotent.
+
+    ``output_mode`` must be "update" when the upstream plan contains an
+    update-mode stateful operator (e.g. ``stateful_first_seen``) —
+    Spark rejects Append-mode sinks over them.
     """
     checkpoint_dir = checkpoint_dir or os.path.join(table.root, "_stream_checkpoint")
     results: list[MergeResult] = []
@@ -47,8 +52,10 @@ def ingest_stream(
         r = merge_into(spark, table, batch_df)
         results.append(r)
 
-    writer = stream_df.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -73,3 +80,76 @@ def ingest_directory(
         .parquet(drop_dir)
     )
     return ingest_stream(stream, table, checkpoint_dir=checkpoint_dir)
+
+
+def windowed_commit_rollup(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed activity rollup with late-data handling.
+
+    The streaming analog of A6 (per-repo commit counts): tumbling
+    event-time windows, closed once the watermark passes — events later
+    than ``watermark`` are dropped deterministically instead of
+    reopening finalized windows.  Append output mode emits each
+    (window, repo) row exactly once, which makes the result a clean
+    streaming SINK into the table layer (one immutable rollup row per
+    finalized window)."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "repo")
+        .agg(F.count("*").alias("n_commits"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "repo",
+            "n_commits",
+        )
+    )
+
+
+def stateful_first_seen(
+    stream_df: DataFrame, group_col: str = "repo", dedup_col: str = "path"
+) -> DataFrame:
+    """Custom stateful operator: emit only the FIRST occurrence of each
+    (group, dedup) key across ALL micro-batches — cross-batch streaming
+    dedup via ``applyInPandasWithState``.
+
+    State is partitioned by ``group_col`` (per-repo, matching the
+    table's partitioning, so the state shuffle co-locates with the
+    data's natural key) and holds the 64-bit hashes of seen values —
+    bounded by distinct-keys-per-group, never by stream length.  Within
+    a batch the kernel is vectorized (one hash pass + isin mask).  The
+    1-in-2^64 hash-collision false-dedup rate is the standard
+    streaming-dedup trade (equivalent to dropDuplicates on a digest).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = "seen array<long>"
+
+    def fn(key, pdf_iter, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            h = pd.util.hash_pandas_object(pdf[dedup_col], index=False).astype(
+                "int64"
+            )
+            fresh = (~h.isin(list(seen))) & (~h.duplicated())
+            seen.update(int(x) for x in h)
+            out = pdf[fresh.to_numpy()]
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
