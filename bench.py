@@ -120,6 +120,13 @@ def main() -> None:
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
 
+    # JVM/codegen/reader warmup OUTSIDE the timed queries: round 1's
+    # first query (pricing_summary) silently absorbed ~5s of one-time
+    # startup; now every per-query number is steady-state.
+    _prewarm_python_workers(spark)
+    for tbl in ("lineitem", "documents", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+
     query_times: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn = QUERIES[name]
