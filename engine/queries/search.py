@@ -438,3 +438,33 @@ def symbol_extraction(spark, sf_dir):
         .unionByName(consts)
         .orderBy("doc_id", "kind", "symbol")
     )
+
+
+# =========================================================================
+# 6. Windowed rollup (batch semantics of streaming.windowed_commit_rollup)
+# =========================================================================
+
+
+@q(
+    "windowed_rollup",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+    """,
+)
+def windowed_rollup(spark, sf_dir):
+    """Batch ground truth of the streaming event-time rollup
+    (engine.streaming.windowed_commit_rollup): epoch-aligned tumbling
+    windows — Spark's window() and DuckDB's time_bucket() agree on
+    bucket starts, so the streaming operator's output is directly
+    oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        .orderBy("win_start", "event_type")
+    )
