@@ -124,9 +124,10 @@ concurrent ceiling; see git history of this file).
 2. **GC shaped like a real node**: stock JVM defaults gave the 8-thread
    level 23 GC threads (free parallelism an 8-core executor doesn't
    have) and a young gen the 32-thread level's 4x allocation rate
-   overran — thread dumps caught all GC threads pegged at 99.9% for
-   seconds inside the 4N level's phases.  ParallelGCThreads=cores +
-   NewRatio=1 removed the storms (cluster phase 68s -> 7s clean).
+   overran — per-thread sampling caught all GC threads pegged at 99.9% for
+   seconds inside the 4N level's phases (BENCH/gc_storm_evidence.log).
+   ParallelGCThreads=cores + NewRatio=1 removed the storms (cluster
+   phase 68s -> 7s clean).
 3. **Heap scales with simulated cluster size** (1.5 GB/core): a real 4N
    cluster has 4x the aggregate memory; a shared fixed heap
    memory-starves the 4N level — a local-mode artifact.
