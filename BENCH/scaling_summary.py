@@ -28,8 +28,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load(n: int) -> dict:
-    with open(os.path.join(REPO, "BENCH", f"scaling_result_{n}.json")) as f:
-        return json.load(f)
+    """Load (and POOL) every archived run at this size: paired rounds
+    from repeated runs are i.i.d. samples of the same quantity, so
+    pooling strengthens the median without cherry-picking runs."""
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob(os.path.join(REPO, "BENCH", f"scaling_result_{n}*.json"))
+    )
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append(json.load(f))
+    base = runs[0]
+    for extra in runs[1:]:
+        if extra.get("levels") != base.get("levels"):
+            continue
+        n_lo, n_hi = base["levels"]
+        for lvl in (n_lo, n_hi):
+            base[f"local{lvl}"]["all_trials"].extend(
+                extra[f"local{lvl}"]["all_trials"]
+            )
+        base["paired_ratios"].extend(extra["paired_ratios"])
+        base["ceiling_samples"].extend(extra["ceiling_samples"])
+        base["steal_fractions"].extend(extra.get("steal_fractions", []))
+        base["trials"] += extra["trials"]
+    # pooled ceiling: median over all rounds' samples
+    base["hardware_ceiling_speedup"] = statistics.median(base["ceiling_samples"])
+    return base
 
 
 def main() -> None:
