@@ -74,7 +74,18 @@ def glob_to_regex(pattern: str) -> str:
             cls = pattern[i + 1 : j]
             if cls.startswith("!"):
                 cls = "^" + cls[1:]
-            out.append("[" + cls.replace("\\", "\\\\") + "]")
+            neg = cls.startswith("^")
+            body = cls[1:] if neg else cls
+            # Escape tokens whose class-body meaning differs across regex
+            # engines: java.util.regex treats an unescaped '[' as a nested
+            # class opener (PatternSyntaxException), '&&' as intersection,
+            # and a leading ']' as a syntax error; RE2/Python accept the
+            # escaped forms identically, so the one emitted string stays
+            # valid on both the Spark (JVM) and DuckDB (RE2) sides.
+            body = body.replace("\\", "\\\\").replace("[", "\\[").replace("&", "\\&")
+            if body.startswith("]"):
+                body = "\\" + body
+            out.append("[" + ("^" if neg else "") + body + "]")
             i = j
         elif c == "{":
             brace_depth += 1

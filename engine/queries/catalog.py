@@ -7,7 +7,7 @@ DataFrame plan (built-in functions, broadcast hints for dims, window
 functions); the oracle is equivalent ANSI SQL for DuckDB.  Column names
 and ordering-insensitive values must match exactly — every computed
 column is aliased identically on both sides, floats are rounded to
-fixed precision so双-engine float formatting can't diverge.
+fixed precision so dual-engine float formatting can't diverge.
 
 Conventions:
 - Spark callables take (spark, sf_dir) and return a DataFrame.
@@ -509,11 +509,17 @@ def rrf_fusion(spark, sf_dir):
     substring-count proxy; the reference's keyword leg is Tantivy BM25
     (/root/reference/src/bm25_search/mod.rs:183-217)."""
     d = t(spark, sf_dir, "documents")
+    # Each leg's top-60 is taken with orderBy().limit() — Catalyst plans a
+    # distributed TakeOrderedAndProject (per-partition top-60, merge on the
+    # driver) instead of the single-task global-window sort that
+    # row_number().over(Window.orderBy(...)) would force.  row_number then
+    # ranks only the 60-row survivor set (trivially small by construction).
+    vec_order = [F.desc("n_chars"), F.asc("doc_id")]
     vec = (
-        d.withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.desc("n_chars"), "doc_id"))
-        )
-        .filter(F.col("rnk") <= 60)
+        d.select("doc_id", "n_chars")
+        .orderBy(*vec_order)
+        .limit(60)
+        .withColumn("rnk", F.row_number().over(W.orderBy(*vec_order)))
         .select("doc_id", "rnk")
     )
     k1, b = 1.2, 0.75
@@ -530,10 +536,13 @@ def rrf_fusion(spark, sf_dir):
     bm25 = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    kw_order = [F.desc("bm25"), F.asc("doc_id")]
     kw = (
         kw_tf.crossJoin(F.broadcast(avgdl))
-        .withColumn("rnk", F.row_number().over(W.orderBy(bm25.desc(), "doc_id")))
-        .filter(F.col("rnk") <= 60)
+        .select("doc_id", bm25.alias("bm25"))
+        .orderBy(*kw_order)
+        .limit(60)
+        .withColumn("rnk", F.row_number().over(W.orderBy(*kw_order)))
         .select("doc_id", "rnk")
     )
     rrf = F.lit(1.0) / (F.lit(60) + F.col("rnk"))

@@ -468,3 +468,187 @@ def windowed_rollup(spark, sf_dir):
         .select(F.col("w.start").alias("win_start"), "event_type", "n")
         .orderBy("win_start", "event_type")
     )
+
+
+# =========================================================================
+# 7. Composed hybrid-search lifecycle (SURVEY §3.2 end-to-end)
+# =========================================================================
+
+HY_K = 15
+HY_OVERFETCH = 3  # ref fetches 3x the requested k before fusion
+HY_LIM = HY_K * HY_OVERFETCH
+HY_RRF_K = 60
+HY_ROOTS = ["src1", "src3", "src5", "src7"]
+HY_TERM = "join"
+
+_HYBRID_SQL = f"""
+    WITH d AS (
+      SELECT * FROM documents WHERE source IN ('src1','src3','src5','src7')
+    ), vec AS (
+      SELECT doc_id, vector_score,
+             row_number() OVER (ORDER BY vector_score DESC, doc_id) AS vrnk
+      FROM (SELECT doc_id,
+                   1.0 / (1.0 + abs(n_chars - 300) / 100.0) AS vector_score
+            FROM d)
+      ORDER BY vector_score DESC, doc_id LIMIT {HY_LIM}
+    ), docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             len(regexp_extract_all(lower(text), '\\b{HY_TERM}\\b')) AS tf
+      FROM d
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS dfn FROM docs
+    ), kw AS (
+      SELECT doc_id, keyword_score,
+             row_number() OVER (ORDER BY keyword_score DESC, doc_id) AS krnk
+      FROM (SELECT doc_id,
+                   ln(1 + (s.n_docs - s.dfn + 0.5) / (s.dfn + 0.5))
+                   * (tf * ({K1} + 1))
+                   / (tf + {K1} * (1 - {B} + {B} * dl / s.avgdl)) AS keyword_score
+            FROM docs, stats s WHERE tf > 0)
+      ORDER BY keyword_score DESC, doc_id LIMIT {HY_LIM}
+    ), fused AS (
+      SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+             coalesce(v.vector_score, 0.0) AS vector_score,
+             coalesce(k.keyword_score, 0.0) AS keyword_score,
+             coalesce(1.0 / ({HY_RRF_K} + v.vrnk), 0.0)
+               + coalesce(1.0 / ({HY_RRF_K} + k.krnk), 0.0) AS fused
+      FROM vec v FULL OUTER JOIN kw k ON v.doc_id = k.doc_id
+    ), ladder AS (SELECT unnest([0.8, 0.6, 0.5, 0.4, 0.3]) AS th),
+    counts AS (
+      SELECT l.th, (SELECT count(*) FROM fused f
+                    WHERE f.vector_score >= l.th OR f.keyword_score >= l.th) AS cnt
+      FROM ladder l
+    ), used AS (SELECT max(th) AS th FROM counts WHERE cnt > 0)
+    SELECT f.doc_id, d.lang, d.source,
+           round(f.vector_score, 6) AS vector_score,
+           round(f.keyword_score, 6) AS keyword_score,
+           round(f.fused, 8) AS score,
+           round((SELECT th FROM used), 2) AS threshold_used
+    FROM fused f JOIN d ON f.doc_id = d.doc_id
+    WHERE f.vector_score >= (SELECT th FROM used)
+       OR f.keyword_score >= (SELECT th FROM used)
+    ORDER BY score DESC, f.doc_id LIMIT {HY_K}
+"""
+
+
+@q("search_hybrid", _HYBRID_SQL)
+def search_hybrid(spark, sf_dir):
+    """The COMPOSED §3.2 read lifecycle in one operator, mirroring the
+    reference's query_codebase chain (/root/reference/src/client/
+    mod.rs:500-570 over /root/reference/src/vector_db/lance_client/
+    mod.rs:373-702): root filter (pushed to the scan) -> vector-proxy
+    top-3k and real-BM25 top-3k legs (the 3x over-fetch at
+    lance_client/mod.rs:388) -> RRF fusion (k=60) -> hydration join ->
+    either-score min_score filter (mod.rs:524-534) -> adaptive
+    threshold ladder (client/mod.rs:516-562) -> final top-k.
+
+    Exercises P2+P4+J2+J3+T1-T3+F14 as a chain.  Scale shape: each leg
+    is a distributed TakeOrderedAndProject (per-partition top-45, no
+    global window); fusion/hydration operate on <=2*45 rows (broadcast
+    joins); the ladder is a driver loop of cheap filters over the tiny
+    persisted fused set."""
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isin(HY_ROOTS))
+
+    vec_order = [F.desc("vector_score"), F.asc("doc_id")]
+    vs = 1.0 / (1.0 + F.abs(F.col("n_chars") - 300) / 100.0)
+    vec = (
+        d.select("doc_id", vs.alias("vector_score"))
+        .orderBy(*vec_order)
+        .limit(HY_LIM)
+        .withColumn("vrnk", F.row_number().over(W.orderBy(*vec_order)))
+    )
+
+    docs = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(rf"\b{HY_TERM}\b"), F.lit(0)
+            )
+        ).alias("tf"),
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum((F.col("tf") > 0).cast("long")).alias("dfn"),
+    )
+    idf = F.log(1 + (F.col("n_docs") - F.col("dfn") + 0.5) / (F.col("dfn") + 0.5))
+    tfn = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    kw_order = [F.desc("keyword_score"), F.asc("doc_id")]
+    kw = (
+        docs.filter(F.col("tf") > 0)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("keyword_score"))
+        .orderBy(*kw_order)
+        .limit(HY_LIM)
+        .withColumn("krnk", F.row_number().over(W.orderBy(*kw_order)))
+    )
+
+    rrf_v = 1.0 / (HY_RRF_K + F.col("vrnk"))
+    rrf_k = 1.0 / (HY_RRF_K + F.col("krnk"))
+    fused = (
+        vec.join(kw, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
+            F.coalesce("keyword_score", F.lit(0.0)).alias("keyword_score"),
+            (F.coalesce(rrf_v, F.lit(0.0)) + F.coalesce(rrf_k, F.lit(0.0))).alias(
+                "fused"
+            ),
+        )
+        .persist()
+    )
+    try:
+        used = None
+        for th in [0.8, 0.6, 0.5, 0.4, 0.3]:
+            hit = (
+                fused.filter(
+                    (F.col("vector_score") >= th) | (F.col("keyword_score") >= th)
+                )
+                .limit(1)
+                .count()
+            )
+            if hit > 0:
+                used = th
+                break
+        if used is None:
+            out = (
+                fused.filter(F.lit(False))
+                .join(d.select("doc_id", "lang", "source"), "doc_id")
+                .select(
+                    "doc_id", "lang", "source",
+                    F.col("vector_score"), F.col("keyword_score"),
+                    F.col("fused").alias("score"),
+                    F.lit(None).cast("double").alias("threshold_used"),
+                )
+            )
+            return out.localCheckpoint()
+        out = (
+            d.select("doc_id", "lang", "source")
+            .join(
+                F.broadcast(
+                    fused.filter(
+                        (F.col("vector_score") >= used)
+                        | (F.col("keyword_score") >= used)
+                    )
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.round("vector_score", 6).alias("vector_score"),
+                F.round("keyword_score", 6).alias("keyword_score"),
+                F.round("fused", 8).alias("score"),
+                F.round(F.lit(used), 2).alias("threshold_used"),
+            )
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(HY_K)
+        )
+        return out.localCheckpoint()
+    finally:
+        fused.unpersist()

@@ -61,6 +61,22 @@ def test_char_classes_and_braces():
     assert not matches_glob("f.go", "*.{rs,py}")
 
 
+def test_class_body_escaping_cross_engine():
+    """'[', '&&', and leading ']' inside a class body must be escaped so
+    the one emitted regex is valid on java.util.regex (Spark rlike) as
+    well as RE2 (DuckDB oracle) and Python re."""
+    assert matches_glob("f_[1].rs", "f_[[]1].rs")
+    assert not matches_glob("f_x1].rs", "f_[[]1].rs")
+    assert matches_glob("a&b", "a[&&]b")
+    assert matches_glob("a]b", "a[]]b")
+    assert matches_glob("axb", "a[!]]b")
+    assert not matches_glob("a]b", "a[!]]b")
+    # the emitted strings carry no bare '[', '&&', or leading ']' in a class
+    for pat in ("f_[[]1].rs", "a[&&]b", "a[]]b"):
+        rx = oracle_regex(pat)
+        assert "[[" not in rx and "&&" not in rx.replace("\\&", "")
+
+
 def test_invalid_glob_substring_fallback():
     # unbalanced class -> substring containment (glob_utils.rs:55-63)
     with pytest.raises(GlobError):
