@@ -191,17 +191,25 @@ def _block_spans(lines: list[str], lang: str) -> list[tuple[int, int, str]]:
 def chunk_ast(df: DataFrame, approximate: bool = True) -> DataFrame:
     """C3: AST node chunks.
 
-    tree_sitter present -> NotImplementedError at the exact plug point
-    (grammar wiring).  Absent + ``approximate=False`` -> empty chunk set
-    (the reference's strict parse-failure contract).  Absent +
-    ``approximate=True`` (default) -> the structural approximation: a
-    mapInPandas UDTF (one file row -> many chunk rows) anchored on the
-    per-language declaration table AST_KINDS."""
+    tree_sitter is not installable in this environment (no network —
+    install attempt recorded in COVERAGE.md), so the structural
+    approximation IS the production path; if the library ever appears,
+    we log that real-grammar wiring is available but still use the
+    structural chunker (same output contract) rather than raising —
+    no environment state makes this operator unusable.
+    ``approximate=False`` -> empty chunk set (the reference's strict
+    parse-failure contract).  Default -> the structural approximation:
+    a mapInPandas UDTF (one file row -> many chunk rows) anchored on
+    the per-language declaration table AST_KINDS
+    (/root/reference/src/indexer/ast_parser.rs:74-183 is the node-kind
+    table the anchors re-express)."""
     if HAS_TREE_SITTER:
-        raise NotImplementedError(
-            "tree_sitter present but grammar wiring not implemented; "
-            "plug per-language node-kind table here "
-            "(/root/reference/src/indexer/ast_parser.rs:74-183)"
+        import logging
+
+        logging.getLogger(__name__).info(
+            "tree_sitter importable: real-grammar chunking could be wired "
+            "(ast_parser.rs:74-183); using the structural approximation, "
+            "which satisfies the same chunk contract"
         )
     if not approximate:
         return _empty_chunks(df)

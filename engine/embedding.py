@@ -188,12 +188,17 @@ def train_ivf_centroids(
     for _ in range(iters):
         sims = sample @ cents.T  # cosine == dot for L2-normalized inputs
         assign = np.argmax(sims, axis=1)
+        # worst-served points, ascending by best-centroid similarity:
+        # each empty cell takes a DISTINCT reseed (argmin alone handed
+        # every empty cell the SAME point -> duplicate centroids,
+        # ADVICE r2)
+        worst = iter(np.argsort(np.max(sims, axis=1)))
         for c in range(n_cells):
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-            else:  # reseed empty cell from the worst-served point
-                cents[c] = sample[np.argmin(np.max(sims, axis=1))]
+            else:  # reseed empty cell from the next worst-served point
+                cents[c] = sample[next(worst)]
         norms = np.linalg.norm(cents, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cents = cents / norms

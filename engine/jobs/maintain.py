@@ -123,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             table,
             retain_last=args.retain_last,
             min_age_s=args.min_age_hours * 3600,
+            spark=spark,
         )
         out.update(
             expired=r.expired_snapshots, retained=r.retained_snapshots,
@@ -131,7 +132,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.op == "sweep":
         from ..ops.expire import sweep_orphan_files
 
-        n, b = sweep_orphan_files(table, min_age_s=args.min_age_hours * 3600)
+        n, b = sweep_orphan_files(
+            table, min_age_s=args.min_age_hours * 3600, spark=spark
+        )
         out.update(orphans_deleted=n, bytes_reclaimed=b)
     elif args.op == "verify":
         from pyspark.sql import functions as F

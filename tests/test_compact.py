@@ -135,3 +135,46 @@ def test_compact_recovers_complete_unit_without_rewrite(spark, fragmented):
     # the COMPLETE unit's output is in the committed snapshot, unrewritten
     assert out_path in {e.path for e in t.files()}
     assert os.path.getmtime(os.path.join(t.root, out_path)) == mtime_before
+
+
+def test_resume_after_concurrent_commit_drops_stale_units(spark, fragmented):
+    """A commit lands between crash and resume: bins re-derived from the
+    NEW snapshot no longer contain the crashed unit's id.  Resume must
+    drop the stale dirty unit (its outputs become sweepable orphans)
+    instead of wedging the job_id on a KeyError (ADVICE r2)."""
+    import time as _time
+
+    t, df = fragmented
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(
+            spark, t, target_bytes=64 * 1024, bins_per_batch=1,
+            job_id="job-z", fail_after_batches=1,
+        )
+    # Inject a COMPLETE-dirty unit whose id cannot appear in bins
+    # re-derived from ANY snapshot (deterministic stand-in for "the
+    # concurrent commit changed bin membership"): outputs exist on disk
+    # so it validates COMPLETE, not CORRUPT.
+    import os
+
+    led = Ledger.open(t.root, "job-z")
+    orphan_rel = os.path.join("data", "stale-unit-output.parquet")
+    done = [u for u in led.units.values() if u.state == "clean"]
+    assert done
+    import shutil
+
+    shutil.copyfile(
+        os.path.join(t.root, done[0].outputs[0]), os.path.join(t.root, orphan_rel)
+    )
+    stale = led.register("bin-notinanyplan", expected_outputs=1)
+    stale.state = "dirty"
+    stale.dirty_ts = _time.time()
+    stale.outputs = [orphan_rel]
+    led.save()
+    # concurrent writer advances the table between crash and resume
+    extra = corpus.generate_corpus(spark, n_files=40, n_repos=5, partitions=2)
+    tablefmt.append(spark, t, extra, num_files=2)
+    digest_before = corpus.corpus_digest(t.scan(spark))
+
+    r = compact(spark, t, target_bytes=64 * 1024, bins_per_batch=1, job_id="job-z")
+    assert r.snapshot_id == t.current_snapshot_id
+    assert corpus.corpus_digest(t.scan(spark)) == digest_before

@@ -101,3 +101,51 @@ def test_rewrite_manifests_preserves_scan(spark, tmp_path):
     }
     # pruning still works at manifest level
     assert len(t.files(pred=[("repo", "==", "repo_0003")])) == 2
+
+
+def test_sweep_reclaims_stale_ledger_outputs(spark, tmp_path):
+    """A dead job's STALE dirty units no longer protect their outputs
+    (ADVICE r2): resume would discard them anyway, so the sweep may
+    reclaim.  An all-stale ledger past the stale horizon is GC'd."""
+    import time as _time
+
+    from engine.checkpoint import STALE_AFTER_S, Ledger
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=50, n_repos=2, partitions=2)
+    tablefmt.append(spark, t, df, num_files=1)
+    files = t.write_data_files(spark, df, num_files=2)  # uncommitted
+    led = Ledger.open(t.root, "job-dead")
+    led.register("u0", expected_outputs=len(files))
+    led.mark_dirty("u0", expected_paths=[f.path for f in files])
+    # age the unit past the stale horizon (validate() -> STALE)
+    led.units["u0"].dirty_ts = _time.time() - STALE_AFTER_S - 60
+    led.save()
+    ledger_path = os.path.join(t.root, "checkpoints", "job-dead.json")
+    # backdate the ledger file so the dead-job GC horizon passes too
+    old = _time.time() - STALE_AFTER_S - 60
+    os.utime(ledger_path, (old, old))
+
+    n, _ = sweep_orphan_files(t, min_age_s=0)
+    assert n == 2  # stale outputs reclaimed
+    assert not os.path.exists(ledger_path)  # dead ledger GC'd
+    assert t.scan(spark).count() == 50
+
+
+def test_sweep_distributed_path(spark, tmp_path):
+    """Above the threshold the sweep fans stat+delete out to executors;
+    results identical to the driver loop (age guard + keep set)."""
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=50, n_repos=2, partitions=2)
+    tablefmt.append(spark, t, df, num_files=3)
+    t.write_data_files(spark, df, num_files=5)  # 5 uncommitted orphans
+    assert len(os.listdir(t.data_dir)) == 8
+    # grace period still honored on the distributed path
+    n0, _ = sweep_orphan_files(t, spark=spark, distributed_threshold=1)
+    assert n0 == 0
+    n, reclaimed = sweep_orphan_files(
+        t, min_age_s=0, spark=spark, distributed_threshold=1
+    )
+    assert n == 5 and reclaimed > 0
+    assert len(os.listdir(t.data_dir)) == 3
+    assert t.scan(spark).count() == 50
