@@ -65,12 +65,16 @@ n_files = int(sys.argv[2])
 os.environ["SPARK_DRIVER_MEM"] = f"{{max(12, int(cores * 1.5))}}g"
 # GC shaped like a real node: ParallelGCThreads = the node's cores (the
 # JVM default gave the 8-thread level 23 GC threads — free parallelism a
-# real 8-core executor doesn't have), and NewRatio=1 (half the heap
-# young) because this workload is allocation-heavy short-lived codegen
-# rows — at 32 task threads the default young gen filled in <1s and
-# promotion pressure produced observed full-GC storms (all GC threads
-# pegged 99.9% for seconds, thread dumps in BENCH logs).
-gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={{cores}} -XX:NewRatio=1"
+# real 8-core executor doesn't have), and a FIXED 2 GB young gen.
+# Round 2 used NewRatio=1, which lets ergonomics grow the nursery with
+# the heap: at the 4N level's 48 GB heap an aged JVM's young pauses
+# scanned ~20 GB and single STW pauses reached 26 s (gc logs, round 3) —
+# the cluster phase spent most of its wall time paused, which is why it
+# measured 0.96x N->4N.  -Xmn2g bounds every pause's work (measured STW
+# 27.5 s -> 10 s, cluster 14.9 s -> 5.9 s at local[32]) and mirrors a
+# real executor's ~2 GB nursery; identical at both levels so the GC work
+# per allocated byte is symmetric.
+gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={{cores}} -Xmn2g"
 # IDENTICAL plan at both levels: shuffle partitions, output-file counts
 # and generation partitioning are pinned to the 4N level (32) so the
 # physical work is the same; only the executor-thread count differs —
@@ -78,7 +82,14 @@ gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={{cores}} -XX:NewRatio=1"
 spark = get_spark(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=32,
                   extra_conf={{"spark.driver.extraJavaOptions": gc_opts}})
-workdir = tempfile.mkdtemp(prefix=f"scale{{cores}}-")
+# Table data on tmpfs, like the shuffle dirs (engine/session.py): this
+# box has ONE virtio disk, and parquet writes to it at 32 threads
+# trigger writeback death spirals (round 3: identical cluster trials
+# degraded 78s/41s/112s on /tmp vs stable on /dev/shm).  A real 4N
+# cluster's table store (S3/HDFS) adds spindles with executors, so
+# RAM-backed table dirs are the faithful single-box stand-in.
+_tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+workdir = tempfile.mkdtemp(prefix=f"scale{{cores}}-", dir=_tmp_base)
 try:
     # NOT persisted: the generator is pure whole-stage-codegen and fuses
     # into each consumer (measured faster than reading Spark's block

@@ -53,6 +53,9 @@ class ClusterResult:
     bytes_out: int
     snapshot_id: int
     duration_s: float = 0.0
+    # sub-step wall times (sample/quantiles/write/move/stats/commit) —
+    # the scaling bench reads these to attribute serial vs parallel cost
+    timings: dict | None = None
 
 
 # boundary-list cap: bucket GRANULARITY only needs ~64x the output-file
@@ -326,6 +329,9 @@ def cluster(
     import uuid
 
     t0 = time.monotonic()
+    tm: dict[str, float] = {}
+    _mark = time.monotonic
+
     base = table.current_snapshot_id
     entries = table.files()
     if not entries:
@@ -335,15 +341,19 @@ def cluster(
         num_files = max(1, round(sum(e.bytes for e in entries) / (128 * 1024 * 1024)))
 
     df = table.scan(spark)
+    t = _mark()
     bounds, sample_pairs = _sample_boundaries_pairs(
         df.select("repo", "path"),
         ["repo", "path"],
         bits,
         total_rows=sum(e.rows for e in entries),  # manifests know the count
     )
+    tm["sample"] = _mark() - t
+    t = _mark()
     zq = _zbin_quantiles(
         sample_pairs, curve, bounds["repo"], bounds["path"], num_files, bits
     )
+    tm["quantiles"] = _mark() - t
     # zkey + zbin from ONE fused Arrow UDF pass; zbin routing is an
     # O(log num_files) numpy searchsorted, scale-safe to ~10^6 output
     # files (no O(num_files) per-row expression, no giant SQL literal).
@@ -357,9 +367,12 @@ def cluster(
 
     cols = [f.name for f in table.schema.fields]
     stage = os.path.join(table.root, f"_stage-{uuid.uuid4().hex}")
+    t = _mark()
     laid_out.select(*cols, "zbin").write.partitionBy("zbin").mode(
         "overwrite"
     ).parquet(stage)
+    tm["write"] = _mark() - t
+    t = _mark()
     moved: list[str] = []
     for bin_dir in sorted(os.listdir(stage)):
         if not bin_dir.startswith("zbin="):
@@ -373,9 +386,11 @@ def cluster(
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
+    tm["move"] = _mark() - t
 
     from ..tablefmt import DataFile, _collect_file_stats
 
+    t = _mark()
     new_files = []
     for info in _collect_file_stats(spark, moved):
         if info["rows"] == 0:
@@ -389,6 +404,8 @@ def cluster(
                 stats=info["stats"],
             )
         )
+    tm["stats"] = _mark() - t
+    t = _mark()
     snap = table.commit(
         "cluster",
         new_files,
@@ -401,6 +418,7 @@ def cluster(
         },
         expected_parent=base,
     )
+    tm["commit"] = _mark() - t
     return ClusterResult(
         curve,
         len(entries),
@@ -409,4 +427,5 @@ def cluster(
         sum(f.bytes for f in new_files),
         snap.snapshot_id,
         time.monotonic() - t0,
+        timings={k: round(v, 3) for k, v in tm.items()},
     )

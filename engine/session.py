@@ -38,16 +38,31 @@ def get_spark(
     # - ParallelGC with the DEFAULT young gen produced full-GC storms at
     #   32 task threads (all GC threads pegged for seconds — 4x the
     #   allocation rate overruns the young gen and promotion pressure
-    #   forces stop-the-world full collections).  NewRatio=1 (half the
-    #   heap young) fits short-lived row churn; GC threads match the
-    #   task threads like a real executor's core count.
+    #   forces stop-the-world full collections).
+    # - Round 2's NewRatio=1 (half the heap young) stopped the storms but
+    #   let ergonomics grow the young gen with the heap: at a 48 GB heap
+    #   young collections scanned ~20 GB and single STW pauses reached
+    #   26 s (gc logs, round 3) — an aged JVM spent >50% of a shuffle
+    #   stage paused.  A FIXED 2 GB young gen (-Xmn2g) bounds every
+    #   pause's work instead: measured total STW fell 27.5 s -> 10 s and
+    #   the cluster phase 14.9 s -> 5.9 s at local[32].  This also
+    #   mirrors a real executor: a 4-core/6 GB executor runs a ~2 GB
+    #   young gen; no real deployment gives one collector a 24 GB
+    #   nursery.  GC threads match the task threads like a real
+    #   executor's core count (thread count mattered far less than the
+    #   nursery bound in A/B runs).
     m = master or ""
     n_threads = os.cpu_count() or 8
     if m.startswith("local[") and m[6:-1].isdigit():
         n_threads = int(m[6:-1])
+    heap_gb = 48
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g").lower()
+    if mem.endswith("g") and mem[:-1].isdigit():
+        heap_gb = int(mem[:-1])
+    young_mb = min(2048, max(256, heap_gb * 1024 // 4))  # 2g, capped at heap/4
     gc_opts = (
         f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, n_threads)} "
-        "-XX:NewRatio=1"
+        f"-Xmn{young_mb}m"
     )
 
     builder = (
