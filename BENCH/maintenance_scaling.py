@@ -62,7 +62,8 @@ n_files = int(sys.argv[2])
 # same old gen forces full GCs inside the biggest phases, which is a
 # local-mode artifact, not an engine property.  1.5 GB per core mirrors
 # a typical executor's per-core memory.
-os.environ["SPARK_DRIVER_MEM"] = f"{{max(12, int(cores * 1.5))}}g"
+heap_gb = max(12, int(cores * 1.5))
+os.environ["SPARK_DRIVER_MEM"] = f"{{heap_gb}}g"
 # GC shaped like a real node: ParallelGCThreads = the node's cores (the
 # JVM default gave the 8-thread level 23 GC threads — free parallelism a
 # real 8-core executor doesn't have), and a FIXED 2 GB young gen.
@@ -74,7 +75,25 @@ os.environ["SPARK_DRIVER_MEM"] = f"{{max(12, int(cores * 1.5))}}g"
 # 27.5 s -> 10 s, cluster 14.9 s -> 5.9 s at local[32]) and mirrors a
 # real executor's ~2 GB nursery; identical at both levels so the GC work
 # per allocated byte is symmetric.
-gc_opts = f"-XX:+UseParallelGC -XX:ParallelGCThreads={{cores}} -Xmn2g"
+# GC shape (round-3 ladder, each rung measured on the full pipeline):
+# 1. ParallelGC + default young: full-GC storms (round 2).
+# 2. ParallelGC + NewRatio=1: ergonomics grew the nursery with the
+#    heap; aged-JVM young pauses scanned ~20 GB, single STW pauses 26 s.
+# 3. ParallelGC + -Xmn2g: bounded pauses, but at 32 threads the small
+#    eden promotes surviving parquet column vectors en masse — old gen
+#    filled to 99% of 48 GB and full GCs totalled 80 s per trial.
+# 4. G1 + -Xms=-Xmx + AlwaysPreTouch (THIS): region-based incremental
+#    collection, measured 2.8 s TOTAL STW on the same trial, zero full
+#    GCs.  Round 1's "G1 is 27x slower" measurement predates heap
+#    pinning — that pathology was resize churn (serial VM-thread
+#    commit/uncommit inside safepoints + all-core page-fault storms,
+#    observed at 98.8% kernel time), which -Xms=-Xmx removes for any
+#    collector.  Pretouch cost lands in startup, before the readiness
+#    handshake, outside every timed window.
+gc_opts = (
+    f"-XX:+UseG1GC -XX:ParallelGCThreads={{cores}} "
+    f"-Xms{{heap_gb}}g -XX:+AlwaysPreTouch"
+)
 # IDENTICAL plan at both levels: shuffle partitions, output-file counts
 # and generation partitioning are pinned to the 4N level (32) so the
 # physical work is the same; only the executor-thread count differs —

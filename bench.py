@@ -49,6 +49,10 @@ HEADLINE_QUERIES = [
     "range_containment_join",
     "window_running_total",
     "topk_by_score",
+    # round 3 additions (new entries, not renames — r1/r2 comparability)
+    "search_hybrid",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
 ]
 
 

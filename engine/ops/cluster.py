@@ -361,7 +361,13 @@ def cluster(
     keyed = df.withColumn("_zk", keyf(F.col("repo"), F.col("path"))).select(
         "*", F.col("_zk.zkey").alias("zkey"), F.col("_zk.zbin").alias("zbin")
     ).drop("_zk")
-    laid_out = keyed.repartition(len(zq) + 1, "zbin").sortWithinPartitions(
+    # bijective zbin->partition routing: plain repartition(n, "zbin")
+    # hash-collides bins (birthday problem: ~1/3 of partitions empty,
+    # worst task carrying 3 bins = the measured cluster-phase critical
+    # path); engine.partitioning routes each bin to its OWN partition.
+    from ..partitioning import repartition_by_bin
+
+    laid_out = repartition_by_bin(keyed, "zbin", len(zq) + 1).sortWithinPartitions(
         "zbin", "zkey"
     )
 

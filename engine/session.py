@@ -81,6 +81,15 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # keep partition files fit for executor memory at scale
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Never mmap shuffle/storage blocks: Spark mmaps any block >= 2MB
+        # by default, and at 32 concurrent task threads the mmap/munmap
+        # churn serializes on the process-wide mmap_lock and sprays TLB-
+        # shootdown IPIs across every core (observed: 98.8% kernel time,
+        # 7/32 executor threads parked in FileChannelImpl.map0, box 71%
+        # idle while all tasks "RUNNABLE").  Plain stream reads of tmpfs/
+        # page-cache blocks are a memcpy with none of that; 2g threshold
+        # disables mmap for any realistic block.
+        .config("spark.storage.memoryMapThreshold", "2g")
     )
     # Shuffle/spill local dirs: this sandbox is one box with ONE virtio
     # disk; at local[32] the 4x dirty-page rate triggers writeback storms
