@@ -64,31 +64,45 @@ def main() -> None:
             )
         )
 
-        # 2. clustering layout plan: one UDF pass + one hash exchange
-        from engine.ops.cluster import _sample_boundaries_pairs, _zbin_quantiles
+        # 2. clustering layout plan: one fused UDF pass + bijective
+        # bin routing + one hash exchange (the REAL cluster code path)
+        from engine.ops.cluster import (
+            _sample_boundaries_pairs,
+            _zbin_quantiles,
+            _zkey_udf,
+        )
+        from engine.partitioning import repartition_by_bin
 
         bounds, pairs = _sample_boundaries_pairs(
             df.select("repo", "path"), ["repo", "path"]
         )
-        keyed = with_curve_key(df, "zorder", bounds["repo"], bounds["path"])
         zq = _zbin_quantiles(pairs, "zorder", bounds["repo"], bounds["path"], 8)
-        arr = ", ".join(str(b) for b in zq)
-        keyed = keyed.withColumn(
-            "zbin",
-            F.expr(
-                f"aggregate(array({arr}), 0, (acc, b) -> acc + CAST(zkey >= b AS INT))"
-            ),
+        keyf = _zkey_udf(
+            "zorder", bounds["repo"], bounds["path"], zbin_boundaries=zq
         )
-        layout = keyed.repartition(len(zq) + 1, "zbin").sortWithinPartitions(
+        keyed = (
+            df.withColumn("_zk", keyf(F.col("repo"), F.col("path")))
+            .select(
+                "*",
+                F.col("_zk.zkey").alias("zkey"),
+                F.col("_zk.zbin").alias("zbin"),
+            )
+            .drop("_zk")
+        )
+        layout = repartition_by_bin(keyed, "zbin", len(zq) + 1).sortWithinPartitions(
             "zbin", "zkey"
         )
         sections.append(
             (
-                "Z-order layout write plan (single-pass quantile routing)",
-                "curve key in ONE ArrowEvalPython (vectorized UDF) node; output-"
-                "file routing (zbin) is a JVM codegen'd searchsorted over driver-"
-                "sampled quantiles — no range-sampler second pass; one hash "
-                "exchange + in-partition sort, no global sort:",
+                "Z-order layout write plan (fused key+routing, bijective bins)",
+                "zkey AND zbin from ONE ArrowEvalPython node (numpy "
+                "searchsorted routing, O(log num_files) per row — no "
+                "O(num_files) expression, no giant literal); bin->partition "
+                "routing is BIJECTIVE via murmur3 proxy keys "
+                "(engine/partitioning.py — plain repartition(n, zbin) left "
+                "1/3 of partitions empty with 3-bin straggler tasks); one "
+                "hash exchange + in-partition sort, no global sort, no "
+                "range-sampler second pass:",
                 cap(layout),
             )
         )
@@ -141,6 +155,44 @@ def main() -> None:
             "multiplied the shingle relation 8x); the trailing explode is "
             "8 rows per doc:",
             cap(QUERIES["dedup_minhash_bands"](spark, SF_DIR)),
+        )
+    )
+
+    # 8. RRF fusion: distributed per-leg top-k, NO un-partitioned Window
+    # (round-2 VERDICT "What's wrong" #1 — a global row_number moved the
+    # whole relation into one task)
+    sections.append(
+        (
+            "RRF fusion (vector leg + BM25 leg)",
+            "each leg's top-60 is a distributed TakeOrderedAndProject "
+            "(orderBy().limit()); ranks are assigned by row_number only "
+            "over the 60-row survivor set — the plan contains NO Window "
+            "over an un-partitioned full relation:",
+            cap(QUERIES["rrf_fusion"](spark, SF_DIR)),
+        )
+    )
+
+    # 9. composed hybrid-search lifecycle
+    sections.append(
+        (
+            "search_hybrid (composed read lifecycle)",
+            "root filter pushed to both leg scans -> 3x over-fetch top-k "
+            "per leg (TakeOrderedAndProject) -> RRF join -> broadcast "
+            "hydration -> threshold ladder; every top-k is distributed:",
+            cap(QUERIES["search_hybrid"](spark, SF_DIR)),
+        )
+    )
+
+    # 10. SimHash: vote sums as projected aggregates, band-bucket join
+    sections.append(
+        (
+            "SimHash near-dup (60-bit fingerprint, 4-band LSH)",
+            "all 60 per-bit vote sums are aggregate columns of ONE "
+            "groupBy(doc_id) over the token relation (no 60x row "
+            "multiplication); candidate pairs come from the band-bucket "
+            "self-join (shuffle key = (band, band_value)), never an "
+            "all-pairs compare:",
+            cap(QUERIES["dedup_simhash"](spark, SF_DIR)),
         )
     )
 
