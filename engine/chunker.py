@@ -188,28 +188,40 @@ def _block_spans(lines: list[str], lang: str) -> list[tuple[int, int, str]]:
     return spans
 
 
-def chunk_ast(df: DataFrame, approximate: bool = True) -> DataFrame:
+def chunk_ast(
+    df: DataFrame, approximate: bool = True, use_tree_sitter: bool | None = None
+) -> DataFrame:
     """C3: AST node chunks.
 
     tree_sitter is not installable in this environment (no network —
     install attempt recorded in COVERAGE.md), so the structural
-    approximation IS the production path; if the library ever appears,
-    we log that real-grammar wiring is available but still use the
-    structural chunker (same output contract) rather than raising —
-    no environment state makes this operator unusable.
-    ``approximate=False`` -> empty chunk set (the reference's strict
-    parse-failure contract).  Default -> the structural approximation:
-    a mapInPandas UDTF (one file row -> many chunk rows) anchored on
-    the per-language declaration table AST_KINDS
+    approximation IS the production path here.  ``use_tree_sitter``
+    makes the fidelity choice EXPLICIT (ADVICE r3: silently approximating
+    when the real library is importable hides a divergence from the
+    reference's real-grammar chunking): None (default) warns loudly when
+    tree_sitter IS importable and then approximates; True raises
+    NotImplementedError at the plug point (real-grammar wiring is the
+    documented TODO, never a silent fallback); False approximates
+    quietly.  ``approximate=False`` -> empty chunk set (the reference's
+    strict parse-failure contract).  The approximation is a mapInPandas
+    UDTF (one file row -> many chunk rows) anchored on the per-language
+    declaration table AST_KINDS
     (/root/reference/src/indexer/ast_parser.rs:74-183 is the node-kind
     table the anchors re-express)."""
-    if HAS_TREE_SITTER:
+    if use_tree_sitter:
+        raise NotImplementedError(
+            "real tree_sitter grammar chunking is the plug point "
+            "(ast_parser.rs:74-183); only the structural approximation "
+            "is wired in this environment"
+        )
+    if HAS_TREE_SITTER and use_tree_sitter is None:
         import logging
 
-        logging.getLogger(__name__).info(
-            "tree_sitter importable: real-grammar chunking could be wired "
-            "(ast_parser.rs:74-183); using the structural approximation, "
-            "which satisfies the same chunk contract"
+        logging.getLogger(__name__).warning(
+            "tree_sitter IS importable but chunk_ast is using the "
+            "structural approximation — chunks will diverge from "
+            "real-grammar AST chunking (ast_parser.rs:74-183); pass "
+            "use_tree_sitter=False to silence or True to fail fast"
         )
     if not approximate:
         return _empty_chunks(df)

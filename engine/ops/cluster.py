@@ -134,6 +134,16 @@ def _sample_boundaries_pairs(
         return {c: [] for c in cols}, []
     frac = min(1.0, max_sample / total)
     pdf = df.select(*cols).sample(fraction=frac, seed=42).toPandas()
+    for c in cols:
+        # ADVICE r3: .to_numpy(dtype="U") silently renders NULL as the
+        # literal string 'None', which would enter the boundary list and
+        # mis-bucket real rows.  Clustering columns are contractually
+        # non-null (repo/path are key columns) — enforce it loudly.
+        if not pdf[c].notna().all():
+            raise ValueError(
+                f"clustering column {c!r} contains NULLs; Z/Hilbert "
+                "boundary sampling requires non-null key columns"
+            )
     bounds = {
         c: _boundaries_from_np(pdf[c].to_numpy(dtype="U"), bits) for c in cols
     }

@@ -54,34 +54,52 @@ def _ledger_protected_files(table: Table) -> set[str]:
 
     Units that validate STALE are a dead job's leftovers: resume will
     discard their outputs anyway (units_to_redo), so protecting them
-    forever just leaked the disk (ADVICE r2).  Ledgers whose units ALL
-    validate STALE/CORRUPT and whose file is past the stale horizon are
-    garbage-collected outright — a deleted ledger only means a resume
-    re-registers every unit and redoes it, which is exactly what resume
-    would do with an all-stale ledger anyway."""
+    forever just leaked the disk (ADVICE r2).  Read-only: ledger GC
+    itself lives in ``_gc_dead_ledgers`` (called from
+    ``sweep_orphan_files``) — ADVICE r3 flagged the unlink side effect
+    this getter used to have."""
     import glob as _glob
 
-    from ..checkpoint import STALE_AFTER_S, Ledger, Validation
+    from ..checkpoint import Ledger, Validation
 
     now = time.time()
     protected: set[str] = set()
     for path in _glob.glob(os.path.join(table.root, "checkpoints", "*.json")):
         job_id = os.path.splitext(os.path.basename(path))[0]
         led = Ledger.open(table.root, job_id)
-        verdicts = {
-            uid: led.validate(uid, table.root, now) for uid in led.units
-        }
-        dead = verdicts and all(
-            v in (Validation.STALE, Validation.CORRUPT) for v in verdicts.values()
-        )
-        if dead and now - os.path.getmtime(path) > STALE_AFTER_S:
-            os.unlink(path)
-            continue
         for uid, u in led.units.items():
-            if verdicts.get(uid) == Validation.STALE:
+            if led.validate(uid, table.root, now) == Validation.STALE:
                 continue  # dead unit: outputs are reclaimable orphans
             protected.update(u.outputs)
     return protected
+
+
+def _gc_dead_ledgers(table: Table, min_age_s: float) -> int:
+    """Delete checkpoint ledgers whose units ALL validate STALE/CORRUPT
+    and whose file is older than max(STALE_AFTER_S, min_age_s) — the
+    sweep's grace period also bounds ledger deletion (ADVICE r3: a live
+    job idle past the fixed 2 h horizon used to lose its ledger and
+    redo every unit on resume).  A deleted ledger only means a resume
+    re-registers every unit and redoes it, which is exactly what resume
+    would do with an all-stale ledger anyway."""
+    import glob as _glob
+
+    from ..checkpoint import STALE_AFTER_S, Ledger, Validation
+
+    horizon = max(STALE_AFTER_S, min_age_s)
+    now = time.time()
+    deleted = 0
+    for path in _glob.glob(os.path.join(table.root, "checkpoints", "*.json")):
+        job_id = os.path.splitext(os.path.basename(path))[0]
+        led = Ledger.open(table.root, job_id)
+        verdicts = [led.validate(uid, table.root, now) for uid in led.units]
+        dead = bool(verdicts) and all(
+            v in (Validation.STALE, Validation.CORRUPT) for v in verdicts
+        )
+        if dead and now - os.path.getmtime(path) > horizon:
+            os.unlink(path)
+            deleted += 1
+    return deleted
 
 
 def expire_snapshots(
@@ -164,6 +182,7 @@ def sweep_orphan_files(
     """
     if keep_files is None:
         keep_files = table.referenced_files()
+    _gc_dead_ledgers(table, min_age_s)
     keep_files = keep_files | _ledger_protected_files(table)
     now = time.time()
     n = 0
@@ -172,10 +191,23 @@ def sweep_orphan_files(
     candidates = [
         name for name in listing if os.path.join("data", name) not in keep_files
     ]
-    if spark is not None and len(listing) > distributed_threshold:
+    if (
+        spark is not None
+        and len(listing) > distributed_threshold
+        and _executors_share_driver_fs(spark)
+    ):
         n, reclaimed = _sweep_distributed(
             spark, table.data_dir, candidates, min_age_s, now
         )
+        if n == 0 and candidates:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "distributed orphan sweep deleted 0 of %d candidates — "
+                "verify executors can reach %s (all may also simply be "
+                "younger than min_age_s=%s)",
+                len(candidates), table.data_dir, min_age_s,
+            )
     else:
         for name in candidates:
             p = os.path.join(table.data_dir, name)
@@ -197,6 +229,22 @@ def sweep_orphan_files(
                 n += 1
             shutil.rmtree(d, ignore_errors=True)
     return n, reclaimed
+
+
+def _executors_share_driver_fs(spark) -> bool:
+    """True when executor-side os.stat/os.unlink against driver-local
+    paths is meaningful: local / local-cluster masters (same box), or an
+    explicit ``spark.engine.sharedFilesystem=true`` (NFS/Lustre-style
+    shared mount; on object stores the sweep would go through the
+    FileSystem API instead).  Without this guard a real multi-node
+    cluster would FileNotFoundError every stat and silently report 0
+    deletions while orphans accumulate (ADVICE r3)."""
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        return True
+    return (
+        spark.conf.get("spark.engine.sharedFilesystem", "false").lower() == "true"
+    )
 
 
 def _sweep_distributed(

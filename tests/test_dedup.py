@@ -46,3 +46,68 @@ def test_simhash_udf_runs_vectorized(spark):
     df = corpus.generate_corpus(spark, n_files=50, n_repos=2, partitions=2)
     out = with_simhash(df).select("simhash").collect()
     assert len({r["simhash"] for r in out}) > 1
+
+
+def _planted_embeddings(spark, n=300, dim=64, n_dups=12, seed=7):
+    """Random unit vectors + planted near-duplicate pairs (tiny noise)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    planted = []
+    for j in range(n_dups):
+        base = V[j] + 0.03 * rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        rows.append((n + j, [float(x) for x in base]))
+        planted.append((j, n + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, planted
+
+
+def test_cosine_pairs_within_buckets_matches_bruteforce(spark):
+    """The matmul kernel (single bucket) == exact all-pairs cosine."""
+    import numpy as np
+
+    from engine.dedup import cosine_pairs_within_buckets
+
+    df, _ = _planted_embeddings(spark, n=120, n_dups=6)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_raw"]
+        for r in cosine_pairs_within_buckets(
+            df.withColumn("bucket", F.lit(0)), "bucket", "vec_id",
+            "embedding", 0.9,
+        ).collect()
+    }
+    pdf = df.toPandas().sort_values("vec_id")
+    V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    V_norm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = V_norm @ V_norm.T
+    ids = pdf["vec_id"].to_numpy()
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if C[i, j] >= 0.9:
+                want[(int(ids[i]), int(ids[j]))] = C[i, j]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_cosine_near_dup_lsh_recall(spark):
+    """Composed bucket->verify operator: exact precision (every emitted
+    pair truly >= threshold) and high recall of planted near-dups."""
+    from engine.dedup import cosine_near_dup_lsh
+
+    df, planted = _planted_embeddings(spark, n=300, n_dups=12)
+    got = cosine_near_dup_lsh(
+        df, "vec_id", "embedding", threshold=0.9,
+        n_tables=8, n_planes=8, dim=64,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # precision is exact by construction: verify stage recomputes cosine
+    for r in got:
+        assert r["cos_raw"] >= 0.9
+    hit = sum(1 for p in planted if p in pairs)
+    assert hit >= int(0.9 * len(planted)), f"recall {hit}/{len(planted)}"

@@ -149,3 +149,36 @@ def test_sweep_distributed_path(spark, tmp_path):
     assert n == 5 and reclaimed > 0
     assert len(os.listdir(t.data_dir)) == 3
     assert t.scan(spark).count() == 50
+
+
+def test_ledger_gc_respects_sweep_grace(spark, tmp_path):
+    """ADVICE r3: ledger GC is gated on max(STALE_AFTER_S, min_age_s) —
+    a sweep run with a generous grace period must not delete an idle
+    (all-stale) job's ledger that a large min_age_s still protects,
+    and computing the protected set must never unlink anything."""
+    import time as _time
+
+    from engine.checkpoint import STALE_AFTER_S, Ledger
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=20, n_repos=2, partitions=2)
+    tablefmt.append(spark, t, df, num_files=1)
+    files = t.write_data_files(spark, df, num_files=1)
+    led = Ledger.open(t.root, "job-idle")
+    led.register("u0", expected_outputs=len(files))
+    led.mark_dirty("u0", expected_paths=[f.path for f in files])
+    led.units["u0"].dirty_ts = _time.time() - STALE_AFTER_S - 60
+    led.save()
+    ledger_path = os.path.join(t.root, "checkpoints", "job-idle.json")
+    old = _time.time() - STALE_AFTER_S - 60
+    os.utime(ledger_path, (old, old))
+
+    # grace larger than the ledger's age: ledger must survive the sweep
+    sweep_orphan_files(t, min_age_s=STALE_AFTER_S + 7 * 24 * 3600)
+    assert os.path.exists(ledger_path)
+
+    # pure getter: no side effects on the ledger file
+    from engine.ops.expire import _ledger_protected_files
+
+    _ledger_protected_files(t)
+    assert os.path.exists(ledger_path)
