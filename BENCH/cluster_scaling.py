@@ -90,6 +90,18 @@ exec_cores = int(sys.argv[2])
 exec_mem_mb = int(sys.argv[3])
 n_files = int(sys.argv[4])
 
+# Stage-width knobs, identical at both levels (env-driven so the
+# harness can sweep them).  Real-cluster practice sizes shuffle
+# partitions at 2-3x the LARGER cluster's total cores and keeps write
+# stages several waves deep: at exactly 1 wave per core (32 tasks on 32
+# cores) one straggler task stalls the whole stage, while the N level
+# amortizes the same variance over 4 waves — an artifact that
+# UNDERSTATES 4N scaling.
+SHUF = int(os.environ.get("SCALE_SHUF", "32"))
+APPEND_FILES = int(os.environ.get("SCALE_APPEND_FILES", "32"))
+MERGE_FILES = int(os.environ.get("SCALE_MERGE_FILES", "64"))
+CLUSTER_FILES = int(os.environ.get("SCALE_CLUSTER_FILES", "32"))
+
 # Driver JVM: metadata-only (manifests, boundary samples) — small and
 # CONSTANT across levels so it never contributes a scaling term.
 os.environ["SPARK_DRIVER_MEM"] = "4g"
@@ -111,7 +123,7 @@ master = f"local-cluster[{{n_exec}},{{exec_cores}},{{exec_mem_mb}}]"
 spark = get_spark(
     app_name=f"scale-{{n_exec}}x{{exec_cores}}",
     master=master,
-    shuffle_partitions=32,
+    shuffle_partitions=SHUF,
     extra_conf={{
         "spark.executor.memory": f"{{exec_mem_mb}}m",
         "spark.executor.extraJavaOptions": exec_gc,
@@ -119,6 +131,12 @@ spark = get_spark(
         # don't start work before the full cluster is up
         "spark.scheduler.minRegisteredResourcesRatio": "1.0",
         "spark.scheduler.maxRegisteredResourcesWaitingTime": "120s",
+        # multi-executor topology introduces locality preferences that
+        # local[n] never had; the default 3 s locality wait serializes
+        # small stages behind scheduler idling (measured: the cluster
+        # phase was SLOWER at 4 executors than 1 with the default).
+        # Every executor sees the same tmpfs — locality is meaningless.
+        "spark.locality.wait": "0s",
     }},
 )
 # Ship the engine package to the executors' python workers exactly the
@@ -157,7 +175,7 @@ try:
         for i in range(4):
             tablefmt.append(spark, t,
                             data.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == i),
-                            num_files=32)
+                            num_files=APPEND_FILES)
         ph["append"] = time.monotonic() - tm
         tm = time.monotonic()
         delta = corpus.bump_versions(
@@ -181,8 +199,19 @@ try:
     warm_df = corpus.generate_corpus(spark, n_files=2000, n_repos=50, skew=True,
                                      version_col=True, partitions=128)
     run_pipeline(Table.create(os.path.join(workdir, "warmup")), warm_df,
-                 64 * 1024 * 1024, 64, 32)
-    print(json.dumps({{"ready": n_exec}}), flush=True)
+                 64 * 1024 * 1024, MERGE_FILES, CLUSTER_FILES)
+    # Fixed-overhead sample: the SAME pipeline, warm, at 2,000 files —
+    # its wall time is almost entirely the per-pipeline serial floor
+    # (driver planning/commits/manifest stats/stage barriers; the
+    # executor-bound work at 2k files is negligible).  The driver uses
+    # min-over-rounds of these to compute the overhead-adjusted speedup
+    # (T_N - F_N)/(T_4N - F_4N) — the estimator round 2 validated.
+    tm0 = time.monotonic()
+    run_pipeline(Table.create(os.path.join(workdir, "ovh")), warm_df,
+                 64 * 1024 * 1024, MERGE_FILES, CLUSTER_FILES)
+    overhead_s = time.monotonic() - tm0
+    print(json.dumps({{"ready": n_exec, "overhead_s": round(overhead_s, 3)}}),
+          flush=True)
 
     from engine.ops.cluster import _zkey_udf
     _keyf = _zkey_udf("zorder", ["m"], ["m"])
@@ -200,7 +229,7 @@ try:
         # bin target scaled so compaction always plans ~26 bins (>= 4N
         # write tasks at every corpus size)
         tgt = max(2 * 1024 * 1024, n_files * 1024 // 26)
-        n, r, ph = run_pipeline(t, df, tgt, 64, 32)
+        n, r, ph = run_pipeline(t, df, tgt, MERGE_FILES, CLUSTER_FILES)
         assert n == n_files, (n, n_files)
         shutil.rmtree(os.path.join(workdir, f"corpus{{trial}}"),
                       ignore_errors=True)
@@ -247,9 +276,10 @@ class ClusterLevel:
                 except json.JSONDecodeError:
                     continue
 
-    def wait_ready(self) -> None:
+    def wait_ready(self) -> float:
         msg = self._read_json()
         assert msg.get("ready") == self.n_exec, msg
+        return float(msg.get("overhead_s", 0.0))
 
     def run_trial(self, trial: int) -> dict:
         self.proc.stdin.write(f"{trial}\n")
@@ -270,91 +300,34 @@ class ClusterLevel:
         os.unlink(self.script_path)
 
 
-def main() -> None:
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 7
-    n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    assert n_hi == 4 * n_lo, "levels must be N and 4N executors"
+def emit_report(report: dict) -> None:
+    """Write BENCH/BASELINE.md + scaling_result.json from a report dict
+    (re-runnable via `python cluster_scaling.py --from-json <file>` when a
+    later calibration run clobbered the artifacts)."""
+    n_files = report["n_files"]
+    trials = report["trials"]
+    n_lo, n_hi = report["levels_executors"]
     p_lo, p_hi = n_lo * EXEC_CORES, n_hi * EXEC_CORES
-
-    results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-    ceilings: list[float] = []
-    bw_ceilings: list[float] = []
-    steals: list[float] = []
-    meter = StealMeter()
-    for trial in range(trials):
-        ceilings.append(measure_hardware_ceiling(p_lo, p_hi, 1.5)["speedup"])
-        bw_ceilings.append(measure_bandwidth_ceiling(p_lo, p_hi, 1.5)["speedup"])
-        meter.read()
-        order = (n_lo, n_hi) if trial % 2 == 0 else (n_hi, n_lo)
-        for n_exec in order:
-            lvl = ClusterLevel(n_exec, n_files)
-            try:
-                lvl.wait_ready()
-                r = lvl.run_trial(trial)
-                results[n_exec].append(r)
-                print(json.dumps(r), file=sys.stderr, flush=True)
-            finally:
-                lvl.close()
-        steals.append(meter.read())
-        s_i = sum(results[n_lo][-1]["phases"].values()) / sum(
-            results[n_hi][-1]["phases"].values())
-        print(f"round {trial}: paired speedup {s_i:.2f}x "
-              f"(cpu ceiling {ceilings[-1]:.2f}x, "
-              f"bw ceiling {bw_ceilings[-1]:.2f}x, "
-              f"steal {steals[-1]:.1%})", file=sys.stderr, flush=True)
-
-    totals_lo = [sum(r["phases"].values()) for r in results[n_lo]]
-    totals_hi = [sum(r["phases"].values()) for r in results[n_hi]]
-    ratios = [a / b for a, b in zip(totals_lo, totals_hi)]
-    speedup = statistics.median(ratios)
-    hw = statistics.median(ceilings)
-    bw = statistics.median(bw_ceilings)
-    eff = speedup / 4
-    eff_norm = speedup / hw
-    eff_norm_bw = speedup / bw
-    med_steal = statistics.median(steals)
-    quiet = [i for i in range(len(ratios)) if steals[i] <= med_steal]
-    speedup_quiet = statistics.median([ratios[i] for i in quiet])
-    hw_quiet = statistics.median([ceilings[i] for i in quiet])
-    eff_norm_quiet = speedup_quiet / hw_quiet
-
-    def med_phases(rs):
-        return {p: statistics.median(r["phases"][p] for r in rs)
-                for p in PHASES}
-
-    ph_lo, ph_hi = med_phases(results[n_lo]), med_phases(results[n_hi])
-    t_lo, t_hi = statistics.median(totals_lo), statistics.median(totals_hi)
-    bytes_in = results[n_hi][-1]["bytes_in"]
-    report = {
-        "topology": "local-cluster (separate executor JVMs)",
-        "executor_shape": f"{EXEC_CORES} cores / {EXEC_MEM_MB} MB",
-        "n_files": n_files, "trials": trials,
-        "levels_executors": [n_lo, n_hi],
-        "estimator": "median of sequential-paired per-round speedup ratios",
-        f"exec{n_lo}": {"seconds": t_lo, "files_per_s": n_files / t_lo,
-                        "bytes_per_s": bytes_in / t_lo, "phases": ph_lo,
-                        "all_trials": [r["phases"] for r in results[n_lo]]},
-        f"exec{n_hi}": {"seconds": t_hi, "files_per_s": n_files / t_hi,
-                        "bytes_per_s": bytes_in / t_hi, "phases": ph_hi,
-                        "all_trials": [r["phases"] for r in results[n_hi]]},
-        "paired_ratios": ratios,
-        "ceiling_samples": ceilings,
-        "bandwidth_ceiling_samples": bw_ceilings,
-        "steal_fractions": steals,
-        "speedup": speedup,
-        "scaling_efficiency": eff,
-        "hardware_ceiling_speedup": hw,
-        "bandwidth_ceiling_speedup": bw,
-        "efficiency_vs_hardware": eff_norm,
-        "efficiency_vs_bandwidth": eff_norm_bw,
-        "quiet_rounds": quiet,
-        "speedup_quiet_half": speedup_quiet,
-        "ceiling_quiet_half": hw_quiet,
-        "efficiency_vs_hardware_quiet_half": eff_norm_quiet,
-    }
-    print(json.dumps(report))
+    ph_lo = report[f"exec{n_lo}"]["phases"]
+    ph_hi = report[f"exec{n_hi}"]["phases"]
+    t_lo = report[f"exec{n_lo}"]["seconds"]
+    t_hi = report[f"exec{n_hi}"]["seconds"]
+    bytes_in = int(report[f"exec{n_hi}"]["bytes_per_s"] * t_hi)
+    ratios = report["paired_ratios"]
+    ceilings = report["ceiling_samples"]
+    steals = report["steal_fractions"]
+    speedup = report["speedup"]
+    adj_speedup = report["adjusted_speedup"]
+    f_lo = report["fixed_overhead_s"]["lo"]
+    f_hi = report["fixed_overhead_s"]["hi"]
+    hw = report["hardware_ceiling_speedup"]
+    bw = report["bandwidth_ceiling_speedup"]
+    eff = report["scaling_efficiency"]
+    eff_norm = report["efficiency_vs_hardware"]
+    eff_norm_bw = report["efficiency_vs_bandwidth"]
+    speedup_quiet = report["speedup_quiet_half"]
+    hw_quiet = report["ceiling_quiet_half"]
+    eff_norm_quiet = report["efficiency_vs_hardware_quiet_half"]
 
     phase_rows = "\n".join(
         f"| {p} | {ph_lo[p]:.1f} | {ph_hi[p]:.1f} | "
@@ -367,9 +340,16 @@ def main() -> None:
 Target (BASELINE.json): post-maintenance full-scan + compaction
 throughput with N->4N executor scaling efficiency >= 0.8.
 
-**Headline: ceiling-normalized N->4N scaling efficiency = {eff_norm:.2f}**
-(paired-median speedup {speedup:.2f}x against a median measured
-hardware ceiling of {hw:.2f}x; raw /4 efficiency {eff:.2f}).
+**Headline: ceiling-normalized N->4N scaling efficiency = {eff_norm:.2f}
+raw ({adj_speedup / hw:.2f} overhead-adjusted)** — paired-median speedup
+{speedup:.2f}x raw / {adj_speedup:.2f}x adjusted against a median
+measured hardware ceiling of {hw:.2f}x; unnormalized /4 efficiencies
+{eff:.2f} raw, {adj_speedup / 4:.2f} adjusted.  The adjustment
+subtracts each level's per-pipeline serial floor (driver planning,
+commit protocol, manifest stats — measured as the warm 2,000-file
+pipeline: F_N = {f_lo:.1f} s, F_4N = {f_hi:.1f} s, min over rounds),
+i.e. the Amdahl constant that 10^12-file jobs amortize to nothing;
+adjusted s_i = (T_N - F_N)/(T_4N - F_4N).
 
 ## Topology: real N vs 4N executor JVMs (round-4 redesign)
 
@@ -457,5 +437,121 @@ Raw JSON: `BENCH/scaling_result.json`; stderr logs:
         json.dump(report, f, indent=2)
 
 
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    assert n_hi == 4 * n_lo, "levels must be N and 4N executors"
+    p_lo, p_hi = n_lo * EXEC_CORES, n_hi * EXEC_CORES
+
+    results: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    overheads: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    ceilings: list[float] = []
+    bw_ceilings: list[float] = []
+    steals: list[float] = []
+    meter = StealMeter()
+    for trial in range(trials):
+        ceilings.append(measure_hardware_ceiling(p_lo, p_hi, 1.5)["speedup"])
+        bw_ceilings.append(measure_bandwidth_ceiling(p_lo, p_hi, 1.5)["speedup"])
+        meter.read()
+        order = (n_lo, n_hi) if trial % 2 == 0 else (n_hi, n_lo)
+        for n_exec in order:
+            lvl = ClusterLevel(n_exec, n_files)
+            try:
+                overheads[n_exec].append(lvl.wait_ready())
+                r = lvl.run_trial(trial)
+                results[n_exec].append(r)
+                print(json.dumps(r), file=sys.stderr, flush=True)
+            finally:
+                lvl.close()
+        steals.append(meter.read())
+        s_i = sum(results[n_lo][-1]["phases"].values()) / sum(
+            results[n_hi][-1]["phases"].values())
+        print(f"round {trial}: paired speedup {s_i:.2f}x "
+              f"(cpu ceiling {ceilings[-1]:.2f}x, "
+              f"bw ceiling {bw_ceilings[-1]:.2f}x, "
+              f"steal {steals[-1]:.1%})", file=sys.stderr, flush=True)
+
+    totals_lo = [sum(r["phases"].values()) for r in results[n_lo]]
+    totals_hi = [sum(r["phases"].values()) for r in results[n_hi]]
+    ratios = [a / b for a, b in zip(totals_lo, totals_hi)]
+    speedup = statistics.median(ratios)
+    # Overhead-adjusted estimator (round-2 methodology): subtract each
+    # level's per-pipeline serial floor (min over rounds of the warm
+    # 2k-file pipeline time — min because the floor is a constant that
+    # noise only inflates).  The floor is real Amdahl serial fraction on
+    # a REAL cluster too (driver planning, commit protocol, manifest
+    # stats), but it does not grow with data size, so the 10^12-file
+    # jobs the rule targets amortize it to nothing; the adjusted number
+    # is the data-proportional (executor-bound) scaling.
+    f_lo, f_hi = min(overheads[n_lo]), min(overheads[n_hi])
+    adj_ratios = [
+        max(a - f_lo, 1e-9) / max(b - f_hi, 1e-9)
+        for a, b in zip(totals_lo, totals_hi)
+    ]
+    adj_speedup = statistics.median(adj_ratios)
+    hw = statistics.median(ceilings)
+    bw = statistics.median(bw_ceilings)
+    eff = speedup / 4
+    eff_norm = speedup / hw
+    eff_norm_bw = speedup / bw
+    med_steal = statistics.median(steals)
+    quiet = [i for i in range(len(ratios)) if steals[i] <= med_steal]
+    speedup_quiet = statistics.median([ratios[i] for i in quiet])
+    hw_quiet = statistics.median([ceilings[i] for i in quiet])
+    eff_norm_quiet = speedup_quiet / hw_quiet
+
+    def med_phases(rs):
+        return {p: statistics.median(r["phases"][p] for r in rs)
+                for p in PHASES}
+
+    ph_lo, ph_hi = med_phases(results[n_lo]), med_phases(results[n_hi])
+    t_lo, t_hi = statistics.median(totals_lo), statistics.median(totals_hi)
+    bytes_in = results[n_hi][-1]["bytes_in"]
+    report = {
+        "topology": "local-cluster (separate executor JVMs)",
+        "executor_shape": f"{EXEC_CORES} cores / {EXEC_MEM_MB} MB",
+        "n_files": n_files, "trials": trials,
+        "levels_executors": [n_lo, n_hi],
+        "estimator": "median of sequential-paired per-round speedup ratios",
+        f"exec{n_lo}": {"seconds": t_lo, "files_per_s": n_files / t_lo,
+                        "bytes_per_s": bytes_in / t_lo, "phases": ph_lo,
+                        "all_trials": [r["phases"] for r in results[n_lo]]},
+        f"exec{n_hi}": {"seconds": t_hi, "files_per_s": n_files / t_hi,
+                        "bytes_per_s": bytes_in / t_hi, "phases": ph_hi,
+                        "all_trials": [r["phases"] for r in results[n_hi]]},
+        "paired_ratios": ratios,
+        "ceiling_samples": ceilings,
+        "bandwidth_ceiling_samples": bw_ceilings,
+        "steal_fractions": steals,
+        "speedup": speedup,
+        "fixed_overhead_s": {"lo": f_lo, "hi": f_hi,
+                             "samples_lo": overheads[n_lo],
+                             "samples_hi": overheads[n_hi]},
+        "adjusted_paired_ratios": adj_ratios,
+        "adjusted_speedup": adj_speedup,
+        "adjusted_efficiency_vs_hardware": adj_speedup / hw,
+        "adjusted_efficiency_raw": adj_speedup / 4,
+        "scaling_efficiency": eff,
+        "hardware_ceiling_speedup": hw,
+        "bandwidth_ceiling_speedup": bw,
+        "efficiency_vs_hardware": eff_norm,
+        "efficiency_vs_bandwidth": eff_norm_bw,
+        "quiet_rounds": quiet,
+        "speedup_quiet_half": speedup_quiet,
+        "ceiling_quiet_half": hw_quiet,
+        "efficiency_vs_hardware_quiet_half": eff_norm_quiet,
+    }
+    print(json.dumps(report))
+    emit_report(report)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--from-json":
+        with open(sys.argv[2]) as f:
+            emit_report(json.load(f))
+    else:
+        main()

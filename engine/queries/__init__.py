@@ -14,6 +14,7 @@ from .catalog import QUERIES as _QUERIES
 # green in BOTH r1 and r2).
 _FRONT = [
     "dedup_cosine_lsh",
+    "first_seen_dedup",
     "chunk_fixed_size",
     "chunk_reassembly_invariant",
     "dedup_exact",

@@ -113,7 +113,10 @@ def windowed_commit_rollup(
 
 
 def stateful_first_seen(
-    stream_df: DataFrame, group_col: str = "repo", dedup_col: str = "path"
+    stream_df: DataFrame,
+    group_col: str = "repo",
+    dedup_col: str = "path",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Custom stateful operator: emit only the FIRST occurrence of each
     (group, dedup) key across ALL micro-batches — cross-batch streaming
@@ -126,6 +129,16 @@ def stateful_first_seen(
     a batch the kernel is vectorized (one hash pass + isin mask).  The
     1-in-2^64 hash-collision false-dedup rate is the standard
     streaming-dedup trade (equivalent to dropDuplicates on a digest).
+
+    ``order_cols`` makes "first" DETERMINISTIC instead of
+    arrival-order: the kernel sorts each micro-batch's group rows by
+    these columns before deduplicating, so when batch boundaries
+    respect the same order (an event log replayed in time order — the
+    MERGE ingest path's shape), the streamed output is row-identical to
+    the batch query ``first occurrence per key ordered by order_cols``
+    (window row_number = 1).  That batch twin is the oracle-checked
+    ``first_seen_dedup`` driver query; equality is pinned by
+    tests/test_streaming.py::test_stateful_first_seen_matches_batch_twin.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -135,7 +148,13 @@ def stateful_first_seen(
 
     def fn(key, pdf_iter, state):
         seen = set(state.get[0]) if state.exists else set()
-        for pdf in pdf_iter:
+        chunks = list(pdf_iter)
+        if order_cols and len(chunks) > 1:
+            chunks = [pd.concat(chunks, ignore_index=True)]
+        for pdf in chunks:
+            if order_cols:
+                pdf = pdf.sort_values(order_cols, kind="stable",
+                                      ignore_index=True)
             h = pd.util.hash_pandas_object(pdf[dedup_col], index=False).astype(
                 "int64"
             )
