@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
         "this are kept (in-flight concurrent writers); 0 = sweep everything",
     )
     p.add_argument("--job-id", default=None, help="checkpoint/resume identity")
+    p.add_argument(
+        "--max-group-mb", type=int, default=None,
+        help="cluster: bound each rewrite job to this many MB of input "
+             "files (Iceberg max-file-group-size-bytes analog) with a "
+             "partial-progress commit per group; omit for the "
+             "single-shuffle whole-table rewrite",
+    )
     p.add_argument("--num-files", type=int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -101,9 +108,19 @@ def main(argv: list[str] | None = None) -> int:
             files_per_s=round(r.files_per_s, 1),
         )
     elif args.op == "cluster":
-        from ..ops.cluster import cluster
+        if args.max_group_mb:
+            from ..ops.cluster import cluster_grouped
 
-        r = cluster(spark, table, curve=args.curve, num_files=args.num_files)
+            r = cluster_grouped(
+                spark, table, curve=args.curve,
+                max_group_bytes=args.max_group_mb * 1024 * 1024,
+                target_file_bytes=args.target_mb * 1024 * 1024,
+                job_id=args.job_id,
+            )
+        else:
+            from ..ops.cluster import cluster
+
+            r = cluster(spark, table, curve=args.curve, num_files=args.num_files)
         out.update(
             curve=r.curve, files_in=r.files_in, files_out=r.files_out,
             rows=r.rows, snapshot_id=r.snapshot_id, seconds=round(r.duration_s, 2),

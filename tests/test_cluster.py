@@ -1,5 +1,7 @@
 """Clustering: curve math, content preservation, pruning improvement."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -128,3 +130,62 @@ def test_zbin_routing_scales_to_many_files(spark):
     zb = np.asarray([10, 20, 20, 30], dtype=np.int64)
     hits = np.searchsorted(zb, np.asarray([5, 10, 19, 20, 30, 31]), side="right")
     assert hits.tolist() == [0, 1, 1, 3, 4, 4]
+
+
+def test_cluster_grouped_preserves_content_and_bounds_groups(spark, tmp_path):
+    """Grouped rewrite: content digest unchanged, every group's input
+    bytes bounded, per-group commits land (snapshot count grows by
+    #groups), and pruning improves like the single-shot path."""
+    from engine.ops.cluster import cluster_grouped, plan_cluster_groups
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=1200, n_repos=10, partitions=8)
+    tablefmt.append(spark, t, df.repartition(12), num_files=12)
+    digest = corpus.corpus_digest(t.scan(spark))
+    entries = t.files()
+    cap = sum(e.bytes for e in entries) // 3  # force ~4 groups
+    groups = plan_cluster_groups(entries, cap)
+    assert len(groups) >= 3
+    assert all(sum(e.bytes for e in g) <= cap or len(g) == 1 for g in groups)
+    snaps_before = len(t.snapshot_ids())
+    r = cluster_grouped(
+        spark, t, curve="zorder", max_group_bytes=cap,
+        target_file_bytes=256 * 1024,
+    )
+    assert corpus.corpus_digest(t.scan(spark)) == digest
+    assert len(t.snapshot_ids()) == snaps_before + len(groups)
+    assert r.files_in == len(entries)
+    pred = [("repo", "==", "repo_0003")]
+    assert len(t.files(pred=pred)) < len(t.files())
+
+
+def test_cluster_grouped_resumes_after_crash(spark, tmp_path):
+    """Crash after the first group: completed groups' commits survive;
+    resuming the same job_id finishes only the remaining groups and the
+    final content digest is intact."""
+    from engine.ops.cluster import cluster_grouped
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=900, n_repos=6, partitions=6)
+    tablefmt.append(spark, t, df.repartition(9), num_files=9)
+    digest = corpus.corpus_digest(t.scan(spark))
+    cap = sum(e.bytes for e in t.files()) // 3
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cluster_grouped(
+            spark, t, max_group_bytes=cap, target_file_bytes=256 * 1024,
+            job_id="job-crash", fail_after_groups=1,
+        )
+    # partial progress is durable and readable
+    assert corpus.corpus_digest(t.scan(spark)) == digest
+    mid_snaps = len(t.snapshot_ids())
+    r = cluster_grouped(
+        spark, t, max_group_bytes=cap, target_file_bytes=256 * 1024,
+        job_id="job-crash",
+    )
+    assert corpus.corpus_digest(t.scan(spark)) == digest
+    assert len(t.snapshot_ids()) > mid_snaps
+    assert r.files_in > 0
+    # ledger cleaned up on completion
+    assert not os.path.exists(
+        os.path.join(t.root, "checkpoints", "job-crash.json")
+    )
