@@ -436,6 +436,10 @@ files/s** while re-verifying every row's sha256.
 Raw JSON: `BENCH/scaling_result.json`; stderr logs:
 `BENCH/cluster_worker_{n_lo}.log`, `BENCH/cluster_worker_{n_hi}.log`.
 """
+    sup = os.path.join(REPO, "BENCH", "baseline_supplement.md")
+    if os.path.exists(sup):
+        with open(sup) as f:
+            md += f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:

@@ -196,6 +196,48 @@ def main() -> None:
         )
     )
 
+    # 10b. SimHash candidate generation without a self-join (round 4):
+    # the r3 plan self-joined the band relation, executing the whole
+    # fingerprint subtree (explode -> md5 -> 60-agg groupBy) once per
+    # join side.  The plan now shows ONE such subtree feeding a
+    # groupBy(band, value) + within-bucket pair explode.
+
+    # 11. embedding-cosine near-dup: matmul kernel + LSH composition
+    sections.append(
+        (
+            "Embedding-cosine near-dup (bounded exact verify)",
+            "ONE FlatMapGroupsInPandas (applyInPandas) node: the bucket's "
+            "vectors meet a single numpy V@V.T BLAS call — round 3's plan "
+            "evaluated an interpreted zip_with/aggregate HOF per pair "
+            "(31 s at sf0.1; now <1 s).  The only exchange is the "
+            "groupBy(bucket) hash partitioning:",
+            cap(QUERIES["dedup_embedding_cosine"](spark, SF_DIR)),
+        )
+    )
+    sections.append(
+        (
+            "dedup_cosine_lsh (composed bucket -> candidates -> exact verify)",
+            "stage 1 computes ALL 32 band-table bucket ids in ONE "
+            "ArrowEvalPython (a single V@P.T matmul per Arrow batch), "
+            "posexploded to (table, bucket) — the shuffle key of the "
+            "candidate self-join; stage 3 re-verifies candidates with one "
+            "einsum batch (second ArrowEvalPython).  No all-pairs compare "
+            "anywhere in the plan:",
+            cap(QUERIES["dedup_cosine_lsh"](spark, SF_DIR)),
+        )
+    )
+
+    # 12. batch twin of the streaming stateful dedup
+    sections.append(
+        (
+            "first_seen_dedup (batch twin of stateful streaming dedup)",
+            "one window per (user_id, event_type) over the hash shuffle on "
+            "the same key — the exchange that co-locates state in the "
+            "streaming twin (applyInPandasWithState) as well:",
+            cap(QUERIES["first_seen_dedup"](spark, SF_DIR)),
+        )
+    )
+
     out = ["# Physical-plan evidence (explain formatted)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")

@@ -26,7 +26,12 @@ Scale design (how Delta/Iceberg do it, re-derived here from scratch):
    (repo, path) min/max stats recomputed from parquet footers into the
    new manifests (SURVEY §2 A7).
 
-The whole job is one shuffle of the data plus footer stats reads.
+The whole-table path (:func:`cluster`) is one shuffle of the data plus
+footer stats reads.  :func:`cluster_grouped` is the 100-TB execution
+shape: the same rewrite in bounded file groups (Iceberg
+``max-file-group-size-bytes`` analog) with a checkpoint-ledger unit and
+a partial-progress commit per group — bounded shuffles, durable
+progress, crash-resume.
 """
 
 from __future__ import annotations
