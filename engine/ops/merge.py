@@ -95,6 +95,7 @@ def merge_into(
     order_col = next(
         (c for c in ("version", "ts", "ingest_ts") if c in source.columns), None
     )
+    raw_source = source
     order = ([F.col(order_col).desc()] if order_col else []) + [F.desc("commit")]
     w = W.partitionBy(*KEY).orderBy(*order)
     source = (
@@ -107,8 +108,12 @@ def merge_into(
 
     # -- prune target files by the source's repo set ------------------------
     # repos in a delta are few (an incremental update touches one root);
-    # collecting them to the driver is metadata-sized.
-    src_repos = [r["repo"] for r in source.select("repo").distinct().collect()]
+    # collecting them to the driver is metadata-sized.  Listed from the
+    # PRE-dedup source: last-writer-wins dedup cannot change the repo
+    # set, and skipping the window here removes one full window
+    # execution from the merge's serial floor (round-4 floor profile:
+    # merge carried ~45% of the 8.5 s per-pipeline fixed cost).
+    src_repos = [r["repo"] for r in raw_source.select("repo").distinct().collect()]
     pred = [("repo", "in", src_repos)] if src_repos else None
     candidates = table.files(pred=pred) if src_repos else []
     candidate_paths = {e.path for e in candidates}
@@ -154,20 +159,32 @@ def merge_into(
 
     classified = classified.persist()
     try:
-        # Driver-bounded metadata, two collects (round 2 collected one
+        # Driver-bounded metadata in ONE collect (round 2 collected one
         # groupBy("_op","_file") — 4 x #candidate_files rows; a mega-repo
-        # merge with 10M candidates would put 40M rows on the driver):
-        # (1) per-op counts aggregate executor-side to <= 4 rows;
-        # (2) the touched-file set collects DISTINCT names of files that
-        #     actually contain a changed/deleted row — exactly the list
-        #     commit() must hold driver-side for the manifest swap (COW
-        #     table formats are metadata-bounded by this same set), so
-        #     the collect adds no asymptotic driver state.  Untouched
-        #     candidates never reach the driver.
-        op_counts = {
-            r["_op"]: r["n"]
-            for r in classified.groupBy("_op").agg(F.count("*").alias("n")).collect()
-        }
+        # merge with 10M candidates would put 40M rows on the driver;
+        # round 3 split that into two bounded jobs; round 4 fuses them
+        # back into one JOB that keeps both bounds): per-op row counts
+        # aggregate executor-side to <= 4 rows, and each op row carries
+        # the DISTINCT file set ONLY for ops that physically touch files
+        # (update/missing) — exactly the list commit() must hold
+        # driver-side for the manifest swap, so the collect adds no
+        # asymptotic driver state.  noop/insert rows carry an empty set
+        # (collect_set over an all-NULL column): untouched candidates
+        # never reach the driver.
+        touch_ops = {"update"} | ({"missing"} if delete_missing else set())
+        op_rows = (
+            classified.groupBy("_op")
+            .agg(
+                F.count("*").alias("n"),
+                F.collect_set(
+                    F.when(
+                        F.col("_op").isin(list(touch_ops)), F.col("_file")
+                    )
+                ).alias("files"),
+            )
+            .collect()
+        )
+        op_counts = {r["_op"]: r["n"] for r in op_rows}
         n_insert = op_counts.get("insert", 0)
         n_update = op_counts.get("update", 0)
         n_delete = op_counts.get("missing", 0) if delete_missing else 0
@@ -176,18 +193,11 @@ def merge_into(
             return MergeResult(0, 0, 0, 0, 0, None)  # replay => idempotent no-op
 
         # files physically touched: contain an updated or (to-be-)deleted row
-        touch_ops = {"update"} | ({"missing"} if delete_missing else set())
-        touched_rows = (
-            classified.filter(
-                F.col("_op").isin(list(touch_ops)) & F.col("_file").isNotNull()
-            )
-            .select("_file")
-            .distinct()
-            .collect()
-        )
-        touched = {r["_file"] for r in touched_rows}
+        touched = {
+            f for r in op_rows for f in (r["files"] or []) if f is not None
+        }
         global _last_driver_rows_collected  # test probe: driver-rows bound
-        _last_driver_rows_collected = len(op_counts) + len(touched_rows)
+        _last_driver_rows_collected = len(op_rows) + len(touched)
         touched_rel = {_rel_path(table, f) for f in touched}
 
         # rows to write = (all rows of touched files, minus updated/deleted
