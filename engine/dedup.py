@@ -24,6 +24,33 @@ from pyspark.sql import types as T
 
 BITS = 64
 
+# DataFrames persisted by the operators below, so the NEXT call can
+# evict them.  These functions return lazy plans over their persisted
+# intermediates — the operator itself cannot unpersist (the caller has
+# not collected yet), but leaving every call's cache alive accumulates
+# across repeated invocations (bench min-of-3 runs measurably slowed by
+# earlier passes' blocks + GC pressure).  Bounded compromise: at most
+# one call's intermediates linger; the next call evicts them first.
+_TRACKED_PERSISTS: list = []
+
+
+def _evict_tracked() -> None:
+    """Unpersist intermediates cached by PREVIOUS operator calls.
+    Called once at each operator's entry (not per persist — one call may
+    legitimately persist several intermediates)."""
+    for old in _TRACKED_PERSISTS:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _TRACKED_PERSISTS.clear()
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _TRACKED_PERSISTS.append(out)
+    return out
+
 
 def _token_hash64(tokens: np.ndarray) -> np.ndarray:
     """Stable 64-bit hashes of a token array in ONE vectorized pass.
@@ -252,10 +279,18 @@ def cosine_near_dup_lsh(
     tests/test_dedup.py::test_cosine_near_dup_lsh_recall and
     BENCH/ANN_RECALL.json; precision is exact (every emitted pair is
     verified)."""
+    _evict_tracked()
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bucketed = vecs.withColumn(
-        "bks", lsh_bucket_udf(n_tables, n_planes, dim, seed)(F.col("vec"))
-    ).select("id", F.posexplode("bks").alias("table", "bucket"))
+    # persist both sides referenced more than once: `bucketed` feeds BOTH
+    # legs of the self-join (without it the LSH matmul subtree runs once
+    # per side — the same cross-branch double-execution dedup_simhash
+    # fixed in r4), and `vecs` is scanned twice for hydration
+    vecs = _persist_tracked(vecs)
+    bucketed = _persist_tracked(
+        vecs.withColumn(
+            "bks", lsh_bucket_udf(n_tables, n_planes, dim, seed)(F.col("vec"))
+        ).select("id", F.posexplode("bks").alias("table", "bucket"))
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(
@@ -277,3 +312,77 @@ def cosine_near_dup_lsh(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", "cos_raw")
     )
+
+
+def chunked_pair_candidates(bands: DataFrame, cap: int = 256) -> DataFrame:
+    """Within-bucket candidate pairs with a DEGENERATE-BUCKET BOUND.
+
+    Input: a banded-LSH relation ``(doc_id, fp, b, bv)`` (one row per
+    document per band).  Output: every unordered within-bucket pair as
+    ``(doc_a < doc_b, fa, fb)``, distinct across bands — exactly the
+    candidate set of a plain per-bucket pair explode, but no single task
+    ever materializes a whole bucket or its n^2 pairs (r4 VERDICT Wrong
+    #3: a corpus of thousands of near-identical documents puts one band
+    value's entire membership, and its quadratic explode, into ONE
+    aggregation row).
+
+    Shape: count each bucket with a window (rows, not pairs — O(n)
+    state), hash-split members into ``k = ceil(n / cap)`` chunks, and
+    pair chunks through a TRIANGLE EQUI-JOIN: the left side replicates
+    chunk ``c`` to target chunks ``c..k-1`` so the join key is
+    (b, bv, target_chunk) — chunk pairs of a hot bucket hash to
+    DIFFERENT shuffle partitions instead of all landing on the bucket's
+    key.  Per-task work is bounded by ~cap^2 pairs; left replication is
+    ~k/2 per row, paid only by oversized buckets (k=1 replicates
+    nothing).  The chunk relation is persisted so the fingerprint
+    subtree still executes once despite the self-join (the r4 motive for
+    the collect_list shape this function replaces)."""
+    from pyspark.sql import Window as W
+
+    _evict_tracked()
+    wb = W.partitionBy("b", "bv")
+    sized = bands.withColumn("n", F.count("*").over(wb)).filter(F.col("n") > 1)
+    k = F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(cap))).cast("int")
+    chunked = sized.withColumn("k", k).withColumn(
+        "c", F.pmod(F.xxhash64("doc_id"), F.col("k")).cast("int")
+    )
+    chunks = _persist_tracked(
+        chunked.groupBy("b", "bv", "c").agg(
+            F.collect_list(F.struct("doc_id", "fp")).alias("ms"),
+            F.first("k").alias("k"),
+        )
+    )
+    lhs = chunks.select(
+        "b", "bv", "c", "ms",
+        F.explode(F.sequence("c", F.col("k") - F.lit(1))).alias("tc"),
+    )
+    rhs = chunks.select(
+        F.col("b").alias("rb"), F.col("bv").alias("rbv"),
+        F.col("c").alias("rc"), F.col("ms").alias("rms"),
+    )
+    joined = lhs.join(
+        rhs,
+        (F.col("b") == F.col("rb"))
+        & (F.col("bv") == F.col("rbv"))
+        & (F.col("tc") == F.col("rc")),
+    )
+    pairs = (
+        joined.select(F.explode("ms").alias("a"), "rms", "c", "rc")
+        .select("a", F.explode("rms").alias("x"), "c", "rc")
+        # same chunk: upper triangle by doc_id; cross chunk: every pair
+        .filter(
+            (F.col("c") < F.col("rc"))
+            | (F.col("a.doc_id") < F.col("x.doc_id"))
+        )
+    )
+    return pairs.select(
+        F.least("a.doc_id", "x.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "x.doc_id").alias("doc_b"),
+        # fp follows its doc so (doc_a, fa) stay aligned either way
+        F.when(F.col("a.doc_id") < F.col("x.doc_id"), F.col("a.fp"))
+        .otherwise(F.col("x.fp"))
+        .alias("fa"),
+        F.when(F.col("a.doc_id") < F.col("x.doc_id"), F.col("x.fp"))
+        .otherwise(F.col("a.fp"))
+        .alias("fb"),
+    ).distinct()

@@ -564,19 +564,28 @@ def cluster_grouped(
     from ..tablefmt import DataFile
 
     t0 = time.monotonic()
-    entries = table.files()
-    if not entries:
-        raise ValueError("empty table")
-    groups = plan_cluster_groups(entries, max_group_bytes)
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:12]}"
     ledger = Ledger.open(
         table.root, job_id, meta={"base_snapshot": table.current_snapshot_id}
     )
-    by_id = {}
-    for members in groups:
-        gid = _stable_group_id([e.path for e in members])
-        by_id[gid] = members
-        if gid not in ledger.units:
+    entries = table.files()
+    if not entries and not ledger.units:
+        raise ValueError("empty table")
+    by_path = {e.path: e for e in entries}
+
+    if ledger.units:
+        # RESUME: reuse the plan persisted at registration (each unit's
+        # meta['inputs']).  Re-planning from the current snapshot would
+        # regroup committed groups' OUTPUT files into fresh work — resume
+        # would redo rewrites proportional to committed progress.  Files
+        # appended to the table after the crashed run started are left
+        # for the next maintenance pass.
+        group_inputs = {gid: u.meta.get("inputs", []) for gid, u in ledger.units.items()}
+    else:
+        group_inputs = {}
+        for members in plan_cluster_groups(entries, max_group_bytes):
+            gid = _stable_group_id([e.path for e in members])
+            group_inputs[gid] = [e.path for e in members]
             ledger.register(
                 gid,
                 expected_outputs=max(
@@ -584,34 +593,51 @@ def cluster_grouped(
                 ),
                 inputs=[e.path for e in members],
             )
-    ledger.save()
+        ledger.save()
 
-    live_paths = {e.path for e in entries}
     files_in = files_out = rows_total = bytes_out = 0
     tm_sum: dict[str, float] = {}
     done = 0
     for gid, u in list(ledger.units.items()):
-        members = by_id.get(gid)
-        if members is None:
-            # unit from a previous resume whose inputs already left the
-            # snapshot: its commit landed — count it as done and move on
-            u_inputs = set(u.meta.get("inputs", []))
-            if u.state == "clean" and not (u_inputs & live_paths):
-                continue
-            del ledger.units[gid]
-            ledger.save()
-            continue
+        in_paths = group_inputs.get(gid, u.meta.get("inputs", []))
+        live_in = [p for p in in_paths if p in by_path]
         if u.state == "clean":
-            if set(u.meta.get("inputs", [])) & live_paths:
+            infos = u.meta.get("file_infos", [])
+            if not live_in:
+                # commit landed before the crash: fold the recorded
+                # metrics so the returned counters cover the whole job
+                files_in += len(in_paths)
+                files_out += len(infos)
+                rows_total += sum(i["rows"] for i in infos)
+                bytes_out += sum(i["bytes"] for i in infos)
+                continue
+            if infos:
                 # crash landed between mark_clean and commit: outputs are
                 # whole files recorded in the ledger — commit from record
-                infos = u.meta.get("file_infos", [])
-                table.commit(
+                snap = table.commit(
                     "cluster-group",
                     [DataFile(**i) for i in infos],
-                    removed_paths=set(u.meta.get("inputs", [])),
+                    removed_paths=set(in_paths),
                     summary={"curve": curve, "group": gid, "recovered": True},
                 )
+                if snap.snapshot_id not in u.lineage:
+                    u.lineage.append(snap.snapshot_id)
+                ledger.save()
+                files_in += len(in_paths)
+                files_out += len(infos)
+                rows_total += sum(i["rows"] for i in infos)
+                bytes_out += sum(i["bytes"] for i in infos)
+                continue
+            # clean with live inputs but NO recorded outputs: never
+            # commit an empty file list against live inputs (that would
+            # drop the group's rows from the snapshot) — redo the group
+        members = [by_path[p] for p in live_in]
+        if not members:
+            # unclean unit whose inputs already left the snapshot: a
+            # concurrent commit claimed them; any outputs it wrote are
+            # orphans for the age-guarded sweep
+            del ledger.units[gid]
+            ledger.save()
             continue
         if fail_after_groups is not None and done >= fail_after_groups:
             raise RuntimeError("simulated crash during grouped clustering")
@@ -622,19 +648,22 @@ def cluster_grouped(
         new_files, tm = _rewrite_clustered(
             spark, table, df, sum(e.rows for e in members), curve, n_out, bits
         )
+        # attach file_infos BEFORE mark_clean: mark_clean's internal save
+        # persists the clean state and the recovery record in ONE write,
+        # so no crash window exists where a unit is clean but has no
+        # outputs recorded (the recovery branch above would otherwise
+        # remove the group's rows with nothing added — data loss)
+        u.meta["file_infos"] = [
+            {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
+            for f in new_files
+        ]
         ledger.mark_clean(
             gid,
             [f.path for f in new_files],
             sum(f.rows for f in new_files),
             sum(f.bytes for f in new_files),
-            snapshot_id=table.current_snapshot_id,
         )
-        ledger.units[gid].meta["file_infos"] = [
-            {"path": f.path, "rows": f.rows, "bytes": f.bytes, "stats": f.stats}
-            for f in new_files
-        ]
-        ledger.save()
-        table.commit(
+        snap = table.commit(
             "cluster-group",
             new_files,
             removed_paths={e.path for e in members},
@@ -645,6 +674,9 @@ def cluster_grouped(
                 "files_out": len(new_files),
             },
         )
+        # lineage points at the snapshot this group PRODUCED
+        u.lineage.append(snap.snapshot_id)
+        ledger.save()
         files_in += len(members)
         files_out += len(new_files)
         rows_total += sum(f.rows for f in new_files)

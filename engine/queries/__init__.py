@@ -3,30 +3,37 @@ from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
 # The driver verifies only the FIRST 50 registered queries per round
-# (confirmed across r1-r3).  Rotation policy (ADVICE r3): each round the
-# front of the list is (a) queries never driver-verified (new this
-# round), then (b) the queries DISPLACED last round — so every query
-# re-earns a green row within two rounds and regressions can't hide in
-# a permanently-displaced tail.  Displaced-this-round queries are
-# whatever falls past slot 50; they lead the next round's front.
-# Round-4 front: dedup_cosine_lsh is new; the other 12 are exactly the
-# r3-displaced set (CORRECTNESS_r03.json has no row for them — all were
-# green in BOTH r1 and r2).
+# (confirmed across r1-r3).  Rotation policy, amended per r4 VERDICT
+# task 1a: rank (a) queries whose IMPLEMENTATION CHANGED this round —
+# the correctness signal must track changed code, r4's rotation
+# verified exactly the code that didn't change — then (b) queries new
+# this round, then (c) the queries DISPLACED last round, so every query
+# still re-earns a green row within two rounds.
+# Round-5 front:
+#   changed r5: hash_cache_digest (commutative rewrite), dedup_simhash
+#     (chunked triangle candidates), dedup_minhash_bands (single-hash
+#     mixes), dedup_cosine_lsh (tracked persists);
+#   changed r4 but displaced from the r4 window: dedup_embedding_cosine;
+#   new r5: filter_gitignore;
+#   then the rest of the r4-displaced set (green in r3, absent from r4).
 _FRONT = [
-    "dedup_cosine_lsh",
-    "first_seen_dedup",
-    "chunk_fixed_size",
-    "chunk_reassembly_invariant",
-    "dedup_exact",
-    "dedup_exact_keep_first",
+    "hash_cache_digest",
+    "dedup_simhash",
     "dedup_minhash_bands",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "cosine_topk",
-    "knn_by_label",
-    "token_count",
-    "quality_score",
-    "lang_id_heuristic",
+    "dedup_cosine_lsh",
+    "dedup_embedding_cosine",
+    "filter_gitignore",
+    "bm25_topk",
+    "filter_glob_v2",
+    "lang_detect_full",
+    "pricing_summary",
+    "ref_kind_full",
+    "revenue_by_nation",
+    "search_hybrid",
+    "symbol_extraction",
+    "visibility_classifier",
+    "window_running_total",
+    "windowed_rollup",
 ]
 
 

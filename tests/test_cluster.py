@@ -189,3 +189,73 @@ def test_cluster_grouped_resumes_after_crash(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(t.root, "checkpoints", "job-crash.json")
     )
+
+
+def test_cluster_grouped_clean_without_infos_redoes_not_empty_commit(
+    spark, tmp_path
+):
+    """The r4 hazard (ADVICE r4 #1): a unit that is clean but has NO
+    file_infos recorded (crash inside the old two-save window) must be
+    REDONE on resume, never committed as an empty file list against live
+    inputs — that would remove the group's rows with nothing added."""
+    from engine.checkpoint import Ledger
+    from engine.ops.cluster import cluster_grouped
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=600, n_repos=4, partitions=4)
+    tablefmt.append(spark, t, df.repartition(6), num_files=6)
+    digest = corpus.corpus_digest(t.scan(spark))
+    cap = sum(e.bytes for e in t.files()) // 3
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cluster_grouped(
+            spark, t, max_group_bytes=cap, target_file_bytes=256 * 1024,
+            job_id="job-hazard", fail_after_groups=1,
+        )
+    # forge the hazard state: first PENDING unit becomes clean with live
+    # inputs and no recovery record
+    led = Ledger.open(t.root, "job-hazard")
+    pending = [u for u in led.units.values() if u.state == "pending"]
+    assert pending
+    forged = pending[0]
+    forged.state = "clean"
+    forged.meta.pop("file_infos", None)
+    led.save()
+    r = cluster_grouped(
+        spark, t, max_group_bytes=cap, target_file_bytes=256 * 1024,
+        job_id="job-hazard",
+    )
+    assert corpus.corpus_digest(t.scan(spark)) == digest  # no rows lost
+    assert r.files_in > 0
+
+
+def test_cluster_grouped_resume_does_not_rewrite_committed_groups(
+    spark, tmp_path
+):
+    """Resume reuses the persisted plan: output files of groups committed
+    before the crash survive untouched (no proportional redo), and the
+    returned counters cover committed + resumed groups."""
+    from engine.ops.cluster import cluster_grouped
+
+    t = Table.create(str(tmp_path / "t"))
+    df = corpus.generate_corpus(spark, n_files=900, n_repos=6, partitions=6)
+    tablefmt.append(spark, t, df.repartition(9), num_files=9)
+    digest = corpus.corpus_digest(t.scan(spark))
+    n_inputs = len(t.files())
+    cap = sum(e.bytes for e in t.files()) // 3
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cluster_grouped(
+            spark, t, max_group_bytes=cap, target_file_bytes=256 * 1024,
+            job_id="job-keep", fail_after_groups=1,
+        )
+    after_crash = {e.path for e in t.files()}
+    r = cluster_grouped(
+        spark, t, max_group_bytes=cap, target_file_bytes=256 * 1024,
+        job_id="job-keep",
+    )
+    final = {e.path for e in t.files()}
+    # every file written by the pre-crash committed group is still live
+    # (it was not regrouped/rewritten by the resume)
+    pre_crash_outputs = {p for p in after_crash if p in final}
+    assert pre_crash_outputs, "committed group's outputs were rewritten on resume"
+    assert corpus.corpus_digest(t.scan(spark)) == digest
+    assert r.files_in == n_inputs  # counters fold committed + resumed

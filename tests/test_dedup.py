@@ -111,3 +111,80 @@ def test_cosine_near_dup_lsh_recall(spark):
         assert r["cos_raw"] >= 0.9
     hit = sum(1 for p in planted if p in pairs)
     assert hit >= int(0.9 * len(planted)), f"recall {hit}/{len(planted)}"
+
+
+def test_chunked_pair_candidates_exact_and_bounded(spark):
+    """r4 VERDICT Wrong #3 / r5 task 2: a degenerate corpus (every doc
+    in ONE band bucket) must still yield the EXACT pair set, with no
+    single aggregation row holding the whole bucket — chunk sizes stay
+    ~cap, so per-task pair work is ~cap^2, not n^2."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.dedup import chunked_pair_candidates
+
+    n, cap = 1200, 64
+    pdf = pd.DataFrame(
+        {"doc_id": range(n), "fp": [0] * n, "b": [0] * n, "bv": [7] * n}
+    )
+    bands = spark.createDataFrame(pdf)
+    pairs = chunked_pair_candidates(bands, cap=cap)
+    assert pairs.count() == n * (n - 1) // 2  # exact: all unordered pairs
+    # orderings are canonical and unique
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert pairs.select("doc_a", "doc_b").distinct().count() == n * (n - 1) // 2
+    # the bound: replicate the internal chunk assignment and assert no
+    # chunk materializes more than ~2x cap members (hash-mod balance)
+    k = -(-n // cap)
+    sizes = (
+        bands.withColumn("c", F.pmod(F.xxhash64("doc_id"), F.lit(k)))
+        .groupBy("b", "bv", "c").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= 2 * cap
+
+
+def test_chunked_pair_candidates_matches_naive_self_join(spark):
+    """Multi-band random fixture: chunked triangle join == naive
+    bucket self-join, pair for pair (fa/fb aligned to doc order)."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.dedup import chunked_pair_candidates
+
+    rng = random.Random(7)
+    rows = [
+        {
+            "doc_id": i,
+            "fp": rng.randrange(1 << 40),
+            "b": b,
+            "bv": rng.randrange(8),
+        }
+        for i in range(300)
+        for b in range(3)
+    ]
+    bands = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        (r.doc_a, r.doc_b, r.fa, r.fb)
+        for r in chunked_pair_candidates(bands, cap=16).collect()
+    }
+    a, c = bands.alias("a"), bands.alias("c")
+    want = {
+        (r.doc_a, r.doc_b, r.fa, r.fb)
+        for r in a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("c.fp").alias("fb"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
