@@ -46,11 +46,31 @@ K = 10
 DEDUP_THRESHOLD = 0.42
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark(app_name="ann-recall", master="local[8]",
-                      shuffle_partitions=8)
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def make_clustered_embeddings(spark, n=2000, dim=64, centers=50, sigma=0.04,
+                              seed=11):
+    """Seeded mixture-of-clusters fixture (r4 VERDICT Missing #2): unit
+    vectors drawn as normalize(center + N(0, sigma^2) noise) around
+    ``centers`` random unit centers.  With sigma^2*dim ~= 0.1 the
+    intra-cluster cosine concentrates around 1/(1+sigma^2*dim) ~= 0.91 —
+    the clustered regime real model embeddings live in, vs the i.i.d.
+    near-orthogonal fixture (the documented ANN worst case).  Returns a
+    DataFrame with the embeddings.parquet schema (vec_id, embedding,
+    label=cluster id)."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((centers, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    labels = rng.integers(0, centers, size=n)
+    V = C[labels] + sigma * rng.standard_normal((n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    rows = [
+        (int(i), [float(x) for x in V[i]], int(labels[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def measure_recall(e, label: str) -> dict:
+    """recall@K of both ANN scale paths vs exact brute force over the
+    given embeddings DataFrame (ground truth in numpy on the driver)."""
     rows = e.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
     V = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
@@ -82,21 +102,43 @@ def main() -> None:
             hits += len(want & got)
             total += len(want)
         r = hits / total
-        print(f"{name}: recall@{K} = {r:.3f}")
+        print(f"[{label}] {name}: recall@{K} = {r:.3f}")
         return r
 
-    results = {"sf_dir": sf_dir, "n_vectors": int(n), "dim": int(dim),
-               "n_queries": int(len(q_idx)), "k": K, "recall_at_k": {}}
+    out = {}
     # ANN paths ask for K+1 then drop self (truth excludes self).
-    results["recall_at_k"]["lsh_8planes_probe1"] = eval_method(
+    out["lsh_8planes_probe1"] = eval_method(
         "lsh", lambda q: ann_topk_lsh(e, q, k=K + 1, id_col="vec_id",
                                       n_planes=8, probe_hamming=1, dim=dim))
     for nprobe in (1, 2, 4):
-        results["recall_at_k"][f"ivf16_nprobe{nprobe}"] = eval_method(
+        out[f"ivf16_nprobe{nprobe}"] = eval_method(
             f"ivf nprobe={nprobe}",
             lambda q, p=nprobe: ann_topk_ivf(e, q, k=K + 1, id_col="vec_id",
                                              n_cells=16, nprobe=p,
                                              centroids=centroids))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="ann-recall", master="local[8]",
+                      shuffle_partitions=8)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.vstack([r["embedding"] for r in rows]).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    n, dim = V.shape
+
+    results = {"sf_dir": sf_dir, "n_vectors": int(n), "dim": int(dim),
+               "n_queries": int(min(N_QUERIES, n)), "k": K}
+    results["recall_at_k"] = measure_recall(e, "iid")
+    clustered = make_clustered_embeddings(spark, n=n, dim=dim).persist()
+    results["recall_at_k_clustered"] = measure_recall(clustered, "clustered")
+    results["clustered_fixture"] = {
+        "centers": 50, "sigma": 0.04, "seed": 11,
+        "note": "normalize(center + noise); intra-cluster cos ~0.91",
+    }
 
     # --- near-dup recall-vs-tables curve ---------------------------------
     C = Vn @ Vn.T
@@ -123,6 +165,17 @@ def main() -> None:
     results["neardup_threshold"] = DEDUP_THRESHOLD
     results["neardup_true_pairs"] = len(truth_pairs)
 
+    results["caveat"] = (
+        "recall_at_k is measured on the driver's i.i.d. near-orthogonal "
+        "synthetic embeddings — the documented worst case for any ANN "
+        "index (honest lower bound; the recall-vs-cost ordering is the "
+        "engine property evidenced).  recall_at_k_clustered is the same "
+        "measurement on the seeded mixture-of-clusters fixture (the "
+        "regime real model embeddings live in, reference anchor ~95%: "
+        "/root/reference/README.md:666-668); "
+        "tests/test_embedding_multimodal.py pins IVF nprobe=4 "
+        "recall@10 >= 0.9 there."
+    )
     out = os.path.join(REPO, "BENCH", "ANN_RECALL.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
