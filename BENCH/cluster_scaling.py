@@ -465,7 +465,30 @@ def main() -> None:
     bw_ceilings: list[float] = []
     steals: list[float] = []
     meter = StealMeter()
+    # Steal gate (r4 VERDICT task 3): before each round, wait for a
+    # quiet hypervisor window.  SCALE_STEAL_GATE is a fraction (e.g.
+    # 0.05); a pre-round 3 s sample above the gate delays the round up
+    # to SCALE_GATE_WAIT_S, then proceeds anyway (the per-round steal is
+    # recorded regardless, so pooling can still slice on it — the gate
+    # only raises the odds of sampling quiet windows, it never censors
+    # data after the fact).
+    steal_gate = float(os.environ.get("SCALE_STEAL_GATE", "0"))
+    gate_wait_s = float(os.environ.get("SCALE_GATE_WAIT_S", "300"))
     for trial in range(trials):
+        if steal_gate > 0:
+            import time as _time
+
+            gate_deadline = _time.monotonic() + gate_wait_s
+            gate_meter = StealMeter()
+            _time.sleep(3)
+            while (s := gate_meter.read()) > steal_gate:
+                if _time.monotonic() > gate_deadline:
+                    print(f"round {trial}: steal gate timed out at {s:.1%}, "
+                          "proceeding", file=sys.stderr, flush=True)
+                    break
+                print(f"round {trial}: steal {s:.1%} > gate "
+                      f"{steal_gate:.0%}, waiting", file=sys.stderr, flush=True)
+                _time.sleep(20)
         ceilings.append(measure_hardware_ceiling(p_lo, p_hi, 1.5)["speedup"])
         bw_ceilings.append(measure_bandwidth_ceiling(p_lo, p_hi, 1.5)["speedup"])
         meter.read()

@@ -238,6 +238,26 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "hash_cache_digest (commutative count/sum/xor digest)",
+            "two HashAggregates per groupBy — the partial (map-side) one "
+            "proves per-key state is three scalars regardless of skew; the "
+            "r4 collect_list shape had no partial aggregate and buffered "
+            "whole repos in single rows:",
+            cap(QUERIES["hash_cache_digest"](spark, SF_DIR)),
+        )
+    )
+    sections.append(
+        (
+            "filter_gitignore (hierarchy-aware ignore predicate)",
+            "the whole gitignore chain (prefix transform + exists + "
+            "last-match-wins when-chain) evaluates inside the scan stage's "
+            "codegen span — no UDF, no shuffle before the filter:",
+            cap(QUERIES["filter_gitignore"](spark, SF_DIR)),
+        )
+    )
+
     out = ["# Physical-plan evidence (explain formatted)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")

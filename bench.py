@@ -62,6 +62,10 @@ HEADLINE_QUERIES = [
     "search_hybrid",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    # round 5 additions (new entries)
+    "hash_cache_digest",
+    "filter_gitignore",
+    "dedup_cosine_lsh",
 ]
 
 

@@ -93,3 +93,15 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(
             f"{name}: value mismatch\n only-spark: {diff_g}\n only-duck:  {diff_w}"
         )
+
+
+def test_hash_cache_digest_partial_agg(spark):
+    """r4 VERDICT Wrong #1: the digest must be commutative so Catalyst
+    emits a map-side partial HashAggregate — under the skew corpus's
+    mega-repo, per-key aggregation state stays three scalars instead of
+    a whole-repo collect_list array in one task."""
+    sdf = entrymod.queries()["hash_cache_digest"](spark, SF_DIR)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "partial_bit_xor" in plan
+    assert "collect_list" not in plan
