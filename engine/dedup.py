@@ -174,7 +174,7 @@ def simhash_near_dups(
 
 def cosine_pairs_within_buckets(
     df: DataFrame,
-    bucket_col: str,
+    bucket_col: str | list[str],
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.9,
@@ -211,9 +211,10 @@ def cosine_pairs_within_buckets(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos_raw": C[ia, ib][keep]}
         )
 
+    keys = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     return (
-        df.select(bucket_col, id_col, vec_col)
-        .groupBy(bucket_col)
+        df.select(*keys, id_col, vec_col)
+        .groupBy(*keys)
         .applyInPandas(kernel, schema=out_schema)
     )
 
@@ -242,21 +243,6 @@ def lsh_bucket_udf(n_tables: int, n_planes: int, dim: int, seed: int = 42):
     return buckets
 
 
-def cosine_exact_pairs_udf():
-    """Arrow UDF: rowwise cosine of two array<float> columns (candidate
-    verify).  ``einsum`` over the stacked batch — one C pass, no HOFs."""
-
-    @F.pandas_udf(T.DoubleType())
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.vstack(a.to_numpy()).astype(np.float64)
-        B = np.vstack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / den)
-
-    return cos
-
-
 def cosine_near_dup_lsh(
     df: DataFrame,
     id_col: str,
@@ -272,45 +258,42 @@ def cosine_near_dup_lsh(
 
     Stage 1: ``n_tables`` independent sign-LSH bucketings in one Arrow
     matmul; posexplode to (table, bucket) — the shuffle key.  Stage 2:
-    candidate pairs = ids sharing any (table, bucket), distinct.  Stage
-    3: exact cosine ONLY for candidates (vector hydration join + one
-    einsum batch), threshold filter.  Recall is the standard OR-of-bands
-    LSH tradeoff, measured against brute force in
-    tests/test_dedup.py::test_cosine_near_dup_lsh_recall and
+    exact cosine INSIDE each (table, bucket) group — one ``V @ V.T``
+    BLAS call per bucket via ``applyInPandas`` (the
+    cosine_pairs_within_buckets kernel keyed by two columns), emitting
+    only pairs that clear the threshold.  Stage 3: per-KEY dedup across
+    tables (groupBy(id_a, id_b) + max(cos) — see the comment at the
+    return site for why a row-level distinct is wrong here).
+
+    Round-5 shape change: the previous version materialized the
+    CANDIDATE set (self-join on (table, bucket) + distinct + two vector
+    hydration joins + pairwise einsum).  At near-all-pairs recall
+    settings (32 tables x 4 planes) the candidate relation approaches
+    n^2/2 rows (86% of all pairs on the sf0.1 corpus) and the distinct +
+    hydration shuffles dominated (8.9 s of the bench).  Verifying inside
+    the bucket groups does the same exact cosines as redundant BLAS
+    flops (each vector ships to n_tables groups — bounded, Arrow-batch)
+    but never shuffles a pair row that fails the threshold: only the
+    survivors (~|true pairs| x n_tables) reach the distinct.  Recall is
+    the standard OR-of-bands LSH tradeoff, measured against brute force
+    in tests/test_dedup.py::test_cosine_near_dup_lsh_recall and
     BENCH/ANN_RECALL.json; precision is exact (every emitted pair is
     verified)."""
-    _evict_tracked()
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # persist both sides referenced more than once: `bucketed` feeds BOTH
-    # legs of the self-join (without it the LSH matmul subtree runs once
-    # per side — the same cross-branch double-execution dedup_simhash
-    # fixed in r4), and `vecs` is scanned twice for hydration
-    vecs = _persist_tracked(vecs)
-    bucketed = _persist_tracked(
-        vecs.withColumn(
-            "bks", lsh_bucket_udf(n_tables, n_planes, dim, seed)(F.col("vec"))
-        ).select("id", F.posexplode("bks").alias("table", "bucket"))
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    cos = cosine_exact_pairs_udf()
+    bucketed = vecs.withColumn(
+        "bks", lsh_bucket_udf(n_tables, n_planes, dim, seed)(F.col("vec"))
+    ).select("id", "vec", F.posexplode("bks").alias("table", "bucket"))
+
+    # dedup across tables by KEY, not by row: the same pair's cosine is
+    # recomputed inside different bucket matrices, and BLAS dgemm output
+    # for one element can differ in the last ulp with matrix shape — a
+    # row-level distinct() would keep both near-identical copies.
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_raw", cos(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos_raw") >= threshold)
-        .select("id_a", "id_b", "cos_raw")
+        cosine_pairs_within_buckets(
+            bucketed, ["table", "bucket"], "id", "vec", threshold
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_raw").alias("cos_raw"))
     )
 
 
