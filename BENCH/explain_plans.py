@@ -216,13 +216,16 @@ def main() -> None:
     )
     sections.append(
         (
-            "dedup_cosine_lsh (composed bucket -> candidates -> exact verify)",
+            "dedup_cosine_lsh (composed bucket -> in-bucket exact verify)",
             "stage 1 computes ALL 32 band-table bucket ids in ONE "
             "ArrowEvalPython (a single V@P.T matmul per Arrow batch), "
             "posexploded to (table, bucket) — the shuffle key of the "
-            "candidate self-join; stage 3 re-verifies candidates with one "
-            "einsum batch (second ArrowEvalPython).  No all-pairs compare "
-            "anywhere in the plan:",
+            "FlatMapGroupsInPandas verify kernel (V@V.T per bucket, "
+            "threshold applied inside); only surviving pairs reach the "
+            "final per-key aggregate.  No candidate relation and no "
+            "all-pairs compare anywhere in the plan (round 5: the "
+            "candidate self-join + hydration joins this replaced cost "
+            "8.9 s -> 1.9 s at sf0.1):",
             cap(QUERIES["dedup_cosine_lsh"](spark, SF_DIR)),
         )
     )
