@@ -242,7 +242,12 @@ def dedup_minhash_bands(spark, sf_dir):
     ).select("doc_id", F.col("x.band").alias("band"), F.col("x.sig").alias("sig"))
     return (
         sigs.groupBy("band", "sig")
-        .agg(F.countDistinct("doc_id").alias("bucket_size"))
+        # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION: sigs
+        # has exactly one row per (doc_id, band) (the wide-agg explode),
+        # so doc_ids within a (band, sig) group are already distinct —
+        # skips the two-phase distinct-aggregate expand (oracle keeps
+        # COUNT(DISTINCT) as the independent formulation)
+        .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > 1)
         .orderBy("band", "sig")
     )
