@@ -71,8 +71,14 @@ from maintenance_scaling import (  # noqa: E402
     measure_hardware_ceiling,
 )
 
-EXEC_CORES = 8
-EXEC_MEM_MB = 4096
+# Executor shape: overridable for the supplementary shape study
+# (SCALE_EXEC_CORES=4 runs 1v4 executors at 4 cores each = 4 -> 16
+# total threads, below this host's memory-bus saturation knee).  The
+# canonical headline shape stays 8c/4096; non-default shapes write
+# shape-suffixed artifacts and DO NOT touch BASELINE.md.
+EXEC_CORES = int(os.environ.get("SCALE_EXEC_CORES", "8"))
+EXEC_MEM_MB = int(os.environ.get("SCALE_EXEC_MEM_MB", "4096"))
+DEFAULT_SHAPE = EXEC_CORES == 8 and EXEC_MEM_MB == 4096
 
 WORKER = r"""
 import json, os, shutil, sys, tempfile, time
@@ -436,6 +442,12 @@ files/s** while re-verifying every row's sha256.
 Raw JSON: `BENCH/scaling_result.json`; stderr logs:
 `BENCH/cluster_worker_{n_lo}.log`, `BENCH/cluster_worker_{n_hi}.log`.
 """
+    if not DEFAULT_SHAPE:
+        with open(os.path.join(
+                REPO, "BENCH",
+                f"scaling_result_lc_{n_files}_c{EXEC_CORES}.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        return
     sup = os.path.join(REPO, "BENCH", "baseline_supplement.md")
     if os.path.exists(sup):
         with open(sup) as f:
