@@ -297,8 +297,17 @@ def cosine_near_dup_lsh(
     )
 
 
-def chunked_pair_candidates(bands: DataFrame, cap: int = 256) -> DataFrame:
+def chunked_pair_candidates(
+    bands: DataFrame, cap: int = 256, verify=None
+) -> DataFrame:
     """Within-bucket candidate pairs with a DEGENERATE-BUCKET BOUND.
+
+    ``verify``: optional callable applied to the raw pair relation
+    ``(doc_a, doc_b, fa, fb)`` BEFORE the cross-band ``distinct()``.
+    LSH banding over-generates aggressively (2.3M candidates from 5k
+    documents on the skewed test corpus, most failing the exact check),
+    so verifying map-side means only survivors pay the dedup shuffle —
+    the candidate relation itself never crosses a stage boundary.
 
     Input: a banded-LSH relation ``(doc_id, fp, b, bv)`` (one row per
     document per band).  Output: every unordered within-bucket pair as
@@ -358,7 +367,7 @@ def chunked_pair_candidates(bands: DataFrame, cap: int = 256) -> DataFrame:
             | (F.col("a.doc_id") < F.col("x.doc_id"))
         )
     )
-    return pairs.select(
+    raw = pairs.select(
         F.least("a.doc_id", "x.doc_id").alias("doc_a"),
         F.greatest("a.doc_id", "x.doc_id").alias("doc_b"),
         # fp follows its doc so (doc_a, fa) stay aligned either way
@@ -368,4 +377,7 @@ def chunked_pair_candidates(bands: DataFrame, cap: int = 256) -> DataFrame:
         F.when(F.col("a.doc_id") < F.col("x.doc_id"), F.col("x.fp"))
         .otherwise(F.col("a.fp"))
         .alias("fb"),
-    ).distinct()
+    )
+    if verify is not None:
+        raw = verify(raw)
+    return raw.distinct()

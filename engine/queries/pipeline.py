@@ -21,6 +21,22 @@ from pyspark.sql import functions as F
 
 from .catalog import q, t
 
+
+def t_wide(spark, sf_dir, name):
+    """Scan a table, spreading a narrow (few-file) scan across the
+    cluster before compute-heavy per-row work (md5 per token/shingle,
+    60-column vote aggregates).  At bench scale the documents table is
+    ONE small parquet file — a single input split serializes the whole
+    hash pipeline on one core (measured 5.7 s -> 0.9 s on
+    dedup_minhash_bands at sf0.1).  At 100 TB the scan already has
+    thousands of splits and this is a no-op — the repartition only fires
+    when the source is narrower than the cluster."""
+    df = t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < p:
+        df = df.repartition(p)
+    return df
+
 # =========================================================================
 # Chunking (SURVEY §2.3 — C1 fixed-size groups, 1-based offsets)
 # =========================================================================
@@ -194,7 +210,7 @@ def dedup_minhash_bands(spark, sf_dir):
     universal-hash mixes (hm*a+b mod 2^31-1) — integer codegen, ~1/8
     the hash cost, identical minhash semantics (any universal family
     works; the mix constants are embedded in both engines' plans)."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     # 3-gram shingles from one split() pass (no self-join)
     shingles = d.select(
         "doc_id",
@@ -361,7 +377,7 @@ def dedup_simhash(spark, sf_dir):
     Ref parity: near-dup detection over document content mirrors the
     reference's dedup tests (/root/reference/tests/incremental_index
     dedup suite)."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -415,14 +431,18 @@ def dedup_simhash(spark, sf_dir):
     # exact pair set and the bound.
     from engine.dedup import chunked_pair_candidates
 
-    cand = chunked_pair_candidates(bands, cap=256)
+    # Hamming verify runs map-side (verify=) so the over-generated
+    # candidate relation (2.3M pairs from 5k docs on this corpus) never
+    # shuffles — only verified pairs reach the cross-band distinct.
     hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= N_SIMHASH_BANDS - 1)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+    cand = chunked_pair_candidates(
+        bands,
+        cap=256,
+        verify=lambda p: p.withColumn("hamming", hamming).filter(
+            F.col("hamming") <= N_SIMHASH_BANDS - 1
+        ),
     )
+    return cand.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
 
 
 COSINE_NEARDUP_THRESHOLD = 0.42
