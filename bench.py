@@ -66,6 +66,8 @@ HEADLINE_QUERIES = [
     "hash_cache_digest",
     "filter_gitignore",
     "dedup_cosine_lsh",
+    "dedup_minhash_pairs",
+    "dedup_connected_components",
 ]
 
 

@@ -1,0 +1,214 @@
+"""spark-submit entrypoint for the near-duplicate sweep family.
+
+Deployment shape mirrors ``engine/jobs/maintain.py``::
+
+    zip -r engine.zip engine/
+    spark-submit --py-files engine.zip engine/jobs/dedup_sweep.py \
+        --input /data/documents.parquet --method minhash \
+        --threshold 0.5 --output /out/dup_pairs --emit pairs
+
+One job = one sweep over a corpus (a parquet path or an engine table)
+with one of the four near-dup operators, writing the result as parquet
+and printing a one-line JSON summary:
+
+- ``exact``      content-sha256 identity.  Pairs are STAR pairs to the
+                 group's canonical (min-id) member — |group|-1 rows per
+                 group, never the quadratic within-group explode.
+- ``minhash``    MinHash-LSH 3-shingle candidates, map-side Jaccard
+                 estimate >= --threshold (engine.dedup.minhash_near_dups;
+                 degenerate buckets chunk-bounded).
+- ``simhash``    64-bit SimHash banding, Hamming <= --max-hamming
+                 (engine.dedup.simhash_near_dups).
+- ``cosine-lsh`` sign-LSH bucketed exact-cosine verify over an embedding
+                 column, cos >= --threshold
+                 (engine.dedup.cosine_near_dup_lsh).
+
+``--emit`` picks the output relation:
+
+- ``pairs``  the near-dup pair relation itself (doc_a < doc_b + score).
+- ``drops``  the ids the drop policy removes (see ``--drop-policy``).
+- ``keep``   the surviving input rows (anti-join of the input against
+             the drop set) — full columns, ready to re-ingest.
+
+``--drop-policy`` (for drops/keep):
+
+- ``greedy``      drop every id appearing as the LARGER side of a pair —
+                  one distinct, no iteration; the standard web-scale
+                  shortcut (over-drops nothing, keeps exactly the ids
+                  that are no pair's larger member).
+- ``components``  exact dedup-group semantics: connected components of
+                  the pair graph by iterative min-label propagation
+                  (engine.dedup.connected_components, oracle-checked as
+                  the ``dedup_connected_components`` catalog query);
+                  keeps each component's smallest id.
+
+Every mode is pure DataFrame composition: the only driver-side action is
+the final row count of the parquet just written.  Scale shape per
+method is documented on the underlying operators; the drop/keep joins
+shuffle on the id column only (AQE broadcasts the drop side when small).
+
+Reference parity: the reference's dedup surface is content-identity at
+re-index time (src/client/indexing/mod.rs incremental_index; dedup
+tests); the near-dup methods are the training-data-pipeline extension
+the survey scopes in (SURVEY.md §2, LLM-pipeline operators).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _load(spark, args) -> tuple[DataFrame, str]:
+    """Return (input df, id column name)."""
+    if args.table:
+        from ..tablefmt import Table
+
+        df = Table.load(args.table).scan(spark)
+        id_col = args.id_col
+        if id_col not in df.columns:
+            # synthesize a stable row identity from the table's natural key
+            df = df.withColumn(
+                id_col, F.concat_ws("\x1f", "repo", "path", "commit")
+            )
+        return df, id_col
+    return spark.read.parquet(args.input), args.id_col
+
+
+def sweep(df: DataFrame, args) -> DataFrame:
+    """The pair relation for the chosen method, normalized to
+    (doc_a, doc_b, score) with doc_a < doc_b."""
+    id_col = args.id_col_resolved
+    if args.method == "exact":
+        sha = F.sha2(F.col(args.text_col).cast("binary"), 256)
+        hashed = df.select(F.col(id_col).alias("id"), sha.alias("sha"))
+        canon = (
+            hashed.groupBy("sha")
+            .agg(F.min("id").alias("doc_a"), F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        return (
+            hashed.join(canon, "sha")
+            .filter(F.col("id") != F.col("doc_a"))
+            .select("doc_a", F.col("id").alias("doc_b"), F.lit(1.0).alias("score"))
+        )
+    if args.method == "minhash":
+        from ..dedup import minhash_near_dups, ngram_jaccard_verify
+
+        cand = minhash_near_dups(
+            df, id_col, args.text_col,
+            # with exact verify on, shortlist at HALF the threshold so
+            # estimator granularity (1/8) doesn't drop true borderline
+            # pairs before the exact stage judges them
+            threshold=args.threshold / 2 if args.verify_exact else args.threshold,
+            cap=args.bucket_cap,
+        )
+        if args.verify_exact:
+            return ngram_jaccard_verify(
+                df, cand, id_col, args.text_col, threshold=args.threshold
+            ).withColumnRenamed("jaccard", "score")
+        return cand.withColumnRenamed("est_jaccard", "score")
+    if args.method == "simhash":
+        from ..dedup import simhash_near_dups
+
+        return simhash_near_dups(
+            df, id_col, args.text_col, max_hamming=args.max_hamming
+        ).select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("hamming").cast("double").alias("score"),
+        )
+    if args.method == "cosine-lsh":
+        from ..dedup import cosine_near_dup_lsh
+
+        return cosine_near_dup_lsh(
+            df, id_col, args.vec_col, threshold=args.threshold,
+            n_tables=args.lsh_tables, n_planes=args.lsh_planes,
+            dim=args.dim, seed=args.seed,
+        ).select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("cos_raw").alias("score"),
+        )
+    raise ValueError(args.method)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="near-duplicate sweep job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of the corpus")
+    src.add_argument("--table", help="engine table root (scans current snapshot)")
+    p.add_argument("--output", required=True, help="parquet output path")
+    p.add_argument(
+        "--method", required=True,
+        choices=["exact", "minhash", "simhash", "cosine-lsh"],
+    )
+    p.add_argument("--emit", choices=["pairs", "drops", "keep"], default="pairs")
+    p.add_argument("--drop-policy", choices=["greedy", "components"],
+                   default="greedy")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default=None,
+                   help="default: 'content' with --table, else 'text'")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="minhash est-Jaccard / cosine threshold")
+    p.add_argument("--verify-exact", action="store_true",
+                   help="minhash only: re-score the LSH shortlist with "
+                        "EXACT 3-shingle-set Jaccard (candidate-bounded "
+                        "joins) and apply --threshold to the exact value")
+    p.add_argument("--max-hamming", type=int, default=3)
+    p.add_argument("--bucket-cap", type=int, default=256)
+    # defaults match the dedup_cosine_lsh catalog query's banding, the
+    # configuration with MEASURED recall 1.0 on the test corpora
+    # (BENCH/ANN_RECALL.json recall-vs-tables curve); fewer/longer
+    # tables trade recall for candidate volume.
+    p.add_argument("--lsh-tables", type=int, default=32)
+    p.add_argument("--lsh-planes", type=int, default=4)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+    if args.text_col is None:
+        args.text_col = "content" if args.table else "text"
+
+    from ..session import get_spark
+
+    spark = get_spark(app_name=f"dedup-{args.method}", master=args.master)
+    df, args.id_col_resolved = _load(spark, args)
+
+    pairs = sweep(df, args)
+    if args.emit == "pairs":
+        out_df = pairs
+    else:
+        if args.drop_policy == "components":
+            from ..dedup import connected_components
+
+            drops = (
+                connected_components(pairs)
+                .filter(F.col("id") != F.col("comp"))
+                .select(F.col("id").alias(args.id_col_resolved))
+            )
+        else:
+            drops = pairs.select(
+                F.col("doc_b").alias(args.id_col_resolved)
+            ).distinct()
+        if args.emit == "drops":
+            out_df = drops
+        else:  # keep: surviving input rows, full columns
+            out_df = df.join(drops, args.id_col_resolved, "left_anti")
+
+    out_df.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "op": "dedup-sweep", "method": args.method, "emit": args.emit,
+        "rows": rows, "output": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,7 +14,8 @@ from .catalog import QUERIES as _QUERIES
 #     (chunked triangle candidates), dedup_minhash_bands (single-hash
 #     mixes), dedup_cosine_lsh (tracked persists);
 #   changed r4 but displaced from the r4 window: dedup_embedding_cosine;
-#   new r5: filter_gitignore;
+#   new r5: filter_gitignore, dedup_minhash_pairs (the job-facing
+#     minhash composition behind jobs/dedup_sweep.py);
 #   then the rest of the r4-displaced set (green in r3, absent from r4).
 _FRONT = [
     "hash_cache_digest",
@@ -23,6 +24,8 @@ _FRONT = [
     "dedup_cosine_lsh",
     "dedup_embedding_cosine",
     "filter_gitignore",
+    "dedup_minhash_pairs",
+    "dedup_connected_components",
     "bm25_topk",
     "filter_glob_v2",
     "lang_detect_full",

@@ -152,17 +152,16 @@ def dedup_exact_keep_first(spark, sf_dir):
     )
 
 
-N_MINHASH_BANDS = 8
-
-
-# Universal-hash mix constants for the per-band minhash functions:
-# sig_b(x) = (h(x) * MIX_A[b] + MIX_B[b]) mod MIX_P over the shared
-# 31-bit base hash h.  Fixed arbitrary odd multipliers — any a in
-# [1, p-1] gives a universal family; listed literally so the DuckDB
-# oracle embeds the identical numbers.
-MIX_P = 2147483647  # 2^31 - 1 (Mersenne prime)
-MIX_A = [1103515245, 69069, 1664525, 22695477, 48271, 65539, 134775813, 214013]
-MIX_B = [12345, 362437, 1013904223, 1, 11, 7, 2531011, 2577]
+# Signature construction + universal-hash mix constants live in
+# engine.dedup (shared with the job-facing minhash_near_dups operator);
+# the oracle f-strings below embed the identical numbers.
+from engine.dedup import (  # noqa: E402
+    MIX_A,
+    MIX_B,
+    MIX_P,
+    N_MINHASH_BANDS,
+    minhash_signatures,
+)
 
 
 @q(
@@ -209,56 +208,16 @@ def dedup_minhash_bands(spark, sf_dir):
     into a 31-bit base value and the 8 band functions are affine
     universal-hash mixes (hm*a+b mod 2^31-1) — integer codegen, ~1/8
     the hash cost, identical minhash semantics (any universal family
-    works; the mix constants are embedded in both engines' plans)."""
+    works; the mix constants are embedded in both engines' plans).
+    Signature construction is shared with the job-facing pair operator
+    (engine.dedup.minhash_signatures)."""
     d = t_wide(spark, sf_dir, "documents")
-    # 3-gram shingles from one split() pass (no self-join)
-    shingles = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.split("text", " "),
-                    1,
-                    F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)),
-                ),
-                lambda x, i: F.concat_ws(
-                    " ",
-                    F.element_at(F.split("text", " "), i + 1),
-                    F.element_at(F.split("text", " "), i + 2),
-                    F.element_at(F.split("text", " "), i + 3),
-                ),
-            )
-        ).alias("shingle"),
+    bands = minhash_signatures(d, "doc_id", "text").select(
+        "doc_id", F.posexplode("fp").alias("band", "sig")
     )
-    hm = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % F.lit(MIX_P)
-    ).alias("hm")
-    hashed = shingles.select("doc_id", hm)
-    sigs_wide = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.col("hm") * F.lit(MIX_A[b]) + F.lit(MIX_B[b])) % F.lit(MIX_P)
-            ).alias(f"sig_{b}")
-            for b in range(N_MINHASH_BANDS)
-        ]
-    )
-    sigs = sigs_wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")
-                    )
-                    for b in range(N_MINHASH_BANDS)
-                ]
-            )
-        ).alias("x"),
-    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.sig").alias("sig"))
     return (
-        sigs.groupBy("band", "sig")
-        # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION: sigs
+        bands.groupBy("band", "sig")
+        # count(*) == count(DISTINCT doc_id) here BY CONSTRUCTION: bands
         # has exactly one row per (doc_id, band) (the wide-agg explode),
         # so doc_ids within a (band, sig) group are already distinct —
         # skips the two-phase distinct-aggregate expand (oracle keeps
@@ -266,6 +225,126 @@ def dedup_minhash_bands(spark, sf_dir):
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > 1)
         .orderBy("band", "sig")
+    )
+
+
+@q(
+    "dedup_minhash_pairs",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), shingles AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+               % {MIX_P} AS hm
+      FROM shingles
+    ), bands AS (
+      SELECT doc_id, band,
+             min((hm * CASE band {' '.join(f'WHEN {b} THEN {MIX_A[b]}' for b in range(N_MINHASH_BANDS))} END
+                  + CASE band {' '.join(f'WHEN {b} THEN {MIX_B[b]}' for b in range(N_MINHASH_BANDS))} END)
+                 % {MIX_P}) AS sig
+      FROM hashed, (SELECT unnest(range({N_MINHASH_BANDS})) AS band)
+      GROUP BY doc_id, band
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(matches / 8.0, 6) AS est_jaccard
+    FROM pairs WHERE matches >= 4 ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """The job-facing MinHash composition (engine.dedup.minhash_near_dups,
+    the engine of ``engine/jobs/dedup_sweep.py --method minhash``):
+    same signature construction as dedup_minhash_bands, but emitting
+    near-dup PAIRS with the map-side matching-component Jaccard
+    estimate (>= 0.5 here = >= 4 of 8 signature components equal).
+
+    Scale shape: candidate pairs come from chunked_pair_candidates
+    (degenerate buckets split into capped chunks, triangle equi-join —
+    no single task sees a whole bucket), and the estimate filter runs
+    BEFORE the cross-band distinct so only survivors shuffle.  The
+    oracle counts matching bands per pair directly — an independent
+    formulation of the same estimator."""
+    from engine.dedup import minhash_near_dups
+
+    d = t_wide(spark, sf_dir, "documents")
+    return (
+        minhash_near_dups(d, "doc_id", "text", threshold=0.5)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@q(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), shingles AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
+               % {MIX_P} AS hm
+      FROM shingles
+    ), bands AS (
+      SELECT doc_id, band,
+             min((hm * CASE band {' '.join(f'WHEN {b} THEN {MIX_A[b]}' for b in range(N_MINHASH_BANDS))} END
+                  + CASE band {' '.join(f'WHEN {b} THEN {MIX_B[b]}' for b in range(N_MINHASH_BANDS))} END)
+                 % {MIX_P}) AS sig
+      FROM hashed, (SELECT unnest(range({N_MINHASH_BANDS})) AS band)
+      GROUP BY doc_id, band
+    ), prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION ALL
+      SELECT doc_b, doc_a FROM prs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach
+    GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Connected components over the minhash near-dup graph — the EXACT
+    dedup-group semantics (a chain a~b~c is ONE group even when a!~c)
+    that the sweep job's greedy drop policy approximates.
+
+    Spark side: engine.dedup.connected_components — iterative min-label
+    propagation, one distributed join + min-aggregate per round, only a
+    scalar changed-count crossing the driver; converges in diameter
+    rounds (2-4 on near-dup graphs; the oracle's recursive CTE computes
+    full reachability, feasible only at oracle scale).  Exercised at
+    sf0.01 by a 3-node CHAIN component (transitive closure observable:
+    its endpoints never share a band)."""
+    from engine.dedup import connected_components, minhash_near_dups
+
+    d = t_wide(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(d, "doc_id", "text", threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
     )
 
 

@@ -187,3 +187,84 @@ def test_chunked_pair_candidates_matches_naive_self_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_minhash_near_dups_pairs(spark):
+    """Planted near-identical shingle sets are recalled with a high
+    Jaccard estimate; unrelated docs never pair at threshold 0.5."""
+    from engine.dedup import minhash_near_dups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+    near = list(base)
+    near[5] = "MUTATED"  # breaks 3 of ~80 shingles
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(near)),
+        (3, "totally different words " + " ".join(f"w{i}" for i in range(60))),
+        (4, " ".join(f"x{i} y{i} z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.5
+    assert all(k == (1, 2) for k in got), got
+
+
+def test_minhash_near_dups_bounded_bucket(spark):
+    """A degenerate corpus (identical docs) still yields the exact pair
+    set through the chunked triangle join, with est_jaccard 1.0."""
+    from engine.dedup import minhash_near_dups
+
+    text = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame([(i, text) for i in range(40)], ["doc_id", "text"])
+    pairs = minhash_near_dups(df, "doc_id", "text", threshold=0.99, cap=8).collect()
+    assert len(pairs) == 40 * 39 // 2
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+
+
+def test_connected_components_chain_vs_greedy(spark):
+    """A star through a high id (1-3, 2-3) is ONE component — the exact
+    policy keeps only the min id, while greedy would keep both 1 and 2."""
+    from engine.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (20, 21), (21, 22)], ["doc_a", "doc_b"]
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    greedy_keep = {1, 2, 10, 20}  # ids never on the larger side
+    exact_keep = {i for i, c in comp.items() if i == c}
+    assert exact_keep == {1, 10, 20} and 2 in greedy_keep
+
+
+def test_connected_components_string_ids_and_empty(spark):
+    from engine.dedup import connected_components
+
+    pairs = spark.createDataFrame([("b", "c"), ("a", "b")], ["doc_a", "doc_b"])
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a"}
+    empty = pairs.filter("doc_a = 'zz'")
+    assert connected_components(empty).count() == 0
+
+
+def test_ngram_jaccard_verify_exact(spark):
+    """Exact-verify stage: candidate pairs re-scored with true
+    shingle-set Jaccard; a pair the 1/8-granular estimate can't separate
+    is judged correctly by the exact value."""
+    from engine.dedup import minhash_near_dups, ngram_jaccard_verify
+
+    base = [f"tok{i}" for i in range(40)]
+    near = list(base)
+    near[5] = "CHANGED"  # kills shingles at 3,4,5 -> jaccard = 35/41
+    rows = [(1, " ".join(base)), (2, " ".join(near)),
+            (3, " ".join(f"z{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = minhash_near_dups(df, "doc_id", "text", threshold=0.25)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_verify(df, cand, "doc_id", "text",
+                                         threshold=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    # exact jaccard: |inter|=35 shared shingles, union 41
+    assert abs(got[(1, 2)] - 35 / 41) < 1e-9

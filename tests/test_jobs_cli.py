@@ -2,6 +2,8 @@
 
 import json
 
+from pyspark.sql import functions as F
+
 from engine import corpus
 from engine.jobs.maintain import main
 from engine.tablefmt import Table
@@ -33,3 +35,99 @@ def test_maintain_cli_pipeline(spark, tmp_path, capsys):
     assert main(["--table", root, "--op", "merge", "--input", delta_dir]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows_updated"] == 3 and out["rows_inserted"] == 0
+
+
+def test_dedup_sweep_cli(spark, tmp_path, capsys):
+    """dedup_sweep end-to-end: exact star-pairs, drops, keep, and the
+    minhash path, through the spark-submit main()."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    src = str(tmp_path / "docs")
+    text_a = "the quick brown fox jumps over the lazy dog " * 6
+    text_b = "pack my box with five dozen liquor jugs today " * 6
+    rows = [(1, text_a), (2, text_a), (3, text_a), (4, text_b), (5, text_b),
+            (6, "unique words " + " ".join(f"u{i}" for i in range(40)))]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    out_pairs = str(tmp_path / "pairs")
+    assert sweep_main(["--input", src, "--method", "exact",
+                       "--output", out_pairs, "--emit", "pairs"]) == 0
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in spark.read.parquet(out_pairs).collect()}
+    # star pairs to each group's min id, not the quadratic explode
+    assert pairs == {(1, 2), (1, 3), (4, 5)}
+
+    out_drops = str(tmp_path / "drops")
+    assert sweep_main(["--input", src, "--method", "exact",
+                       "--output", out_drops, "--emit", "drops"]) == 0
+    drops = {r["doc_id"] for r in spark.read.parquet(out_drops).collect()}
+    assert drops == {2, 3, 5}
+
+    out_keep = str(tmp_path / "keep")
+    assert sweep_main(["--input", src, "--method", "exact",
+                       "--output", out_keep, "--emit", "keep"]) == 0
+    kept = spark.read.parquet(out_keep)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4, 6}
+    assert set(kept.columns) == {"doc_id", "text"}
+
+    out_mh = str(tmp_path / "mh_pairs")
+    assert sweep_main(["--input", src, "--method", "minhash",
+                       "--threshold", "0.9",
+                       "--output", out_mh, "--emit", "pairs"]) == 0
+    mh = {(r["doc_a"], r["doc_b"])
+          for r in spark.read.parquet(out_mh).collect()}
+    assert mh == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+    summaries = [json.loads(l)
+                 for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(s["op"] == "dedup-sweep" for s in summaries)
+    assert summaries[0]["rows"] == 3
+
+
+def test_dedup_sweep_cli_table_source(spark, tmp_path, capsys):
+    """--table scans the engine table and synthesizes the row identity
+    from (repo, path, commit) when --id-col is absent."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    root = str(tmp_path / "t")
+    df = corpus.generate_corpus(spark, n_files=60, n_repos=3, partitions=2)
+    # plant one exact duplicate under a different path
+    dup = (df.limit(1).withColumn("path", F.lit("src/dup/planted.rs"))
+           .withColumn("repo", F.lit("repo_0001")))
+    Table.create(root)
+    from engine.tablefmt import append as tbl_append
+    tbl_append(spark, Table.load(root), df.unionByName(dup), num_files=2)
+
+    out = str(tmp_path / "tdrops")
+    assert sweep_main(["--table", root, "--method", "exact",
+                       "--output", out, "--emit", "drops"]) == 0
+    drops = spark.read.parquet(out).collect()
+    assert len(drops) == 1
+
+
+def test_dedup_sweep_cli_components_policy(spark, tmp_path):
+    """--drop-policy components keeps one row per component even when
+    the pair graph is a star through the largest id (greedy would keep
+    two)."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    src = str(tmp_path / "docs")
+    shared = "common shared sentence repeated for the dedup star test " * 5
+    rows = [(1, "prefix one " + shared), (2, "prefix two " + shared),
+            (3, shared + " suffix three"),
+            (4, "isolated " + " ".join(f"q{i}" for i in range(50)))]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    out_g = str(tmp_path / "keep_greedy")
+    out_c = str(tmp_path / "keep_comp")
+    assert sweep_main(["--input", src, "--method", "minhash",
+                       "--threshold", "0.25", "--output", out_g,
+                       "--emit", "keep"]) == 0
+    assert sweep_main(["--input", src, "--method", "minhash",
+                       "--threshold", "0.25", "--output", out_c,
+                       "--emit", "keep", "--drop-policy", "components"]) == 0
+    kept_c = {r["doc_id"] for r in spark.read.parquet(out_c).collect()}
+    kept_g = {r["doc_id"] for r in spark.read.parquet(out_g).collect()}
+    # components keeps exactly one survivor per near-dup group
+    assert 4 in kept_c and len(kept_c) >= 2
+    assert kept_c <= kept_g  # exact policy never keeps more than greedy
