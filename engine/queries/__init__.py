@@ -15,7 +15,10 @@ from .catalog import QUERIES as _QUERIES
 #     mixes), dedup_cosine_lsh (tracked persists);
 #   changed r4 but displaced from the r4 window: dedup_embedding_cosine;
 #   new r5: filter_gitignore, dedup_minhash_pairs (the job-facing
-#     minhash composition behind jobs/dedup_sweep.py);
+#     minhash composition behind jobs/dedup_sweep.py),
+#     dedup_connected_components (exact dedup-group labeling),
+#     ann_ivf_topk (full IVF pipeline at nprobe=n_cells => exact, so
+#     the brute-force SQL is a true oracle);
 #   then the rest of the r4-displaced set (green in r3, absent from r4).
 _FRONT = [
     "hash_cache_digest",
@@ -26,6 +29,7 @@ _FRONT = [
     "filter_gitignore",
     "dedup_minhash_pairs",
     "dedup_connected_components",
+    "ann_ivf_topk",
     "bm25_topk",
     "filter_glob_v2",
     "lang_detect_full",
