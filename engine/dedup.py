@@ -545,8 +545,14 @@ def connected_components(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    # Init folds the first propagation round in: comp_0 = min(id, min
+    # neighbor) instead of id — same monotone invariant (comp_i = min id
+    # within i+1 hops), one fewer join+aggregate+count round per run.
+    # Every node appears as src (edges are symmetrized), so the node set
+    # is preserved.
+    labels = edges.groupBy("src").agg(F.min("dst").alias("nmin")).select(
+        F.col("src").alias("id"),
+        F.least(F.col("src"), F.col("nmin")).alias("comp"),
     ).persist()
     for _ in range(max_iters):
         nbr = edges.join(
