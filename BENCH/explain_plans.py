@@ -261,6 +261,40 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "dedup_minhash_pairs (chunked triangle candidate join)",
+            "the pair join's shuffle keys are (band, value, target_chunk) — "
+            "a degenerate bucket's chunk-pairs hash to DIFFERENT shuffle "
+            "partitions instead of one task's n^2 array, and the 1/8-"
+            "granular matching-component Jaccard filter runs map-side "
+            "before the cross-band distinct so only survivors shuffle:",
+            cap(QUERIES["dedup_minhash_pairs"](spark, SF_DIR)),
+        )
+    )
+    sections.append(
+        (
+            "ann_ivf_topk (IVF-Flat: train -> assign -> probe -> verify)",
+            "the only Python is ONE ArrowEvalPython span (the batched "
+            "cell-assignment matmul); probe pruning is a codegen filter on "
+            "the assigned cell and the exact-cosine verify + top-k run "
+            "JVM-side (TakeOrderedAndProject).  At 100 TB ivf_cell is the "
+            "partition key, so this filter becomes partition pruning:",
+            cap(QUERIES["ann_ivf_topk"](spark, SF_DIR)),
+        )
+    )
+
+    sections.append(
+        (
+            "training_funnel (composed prep pipeline, one-aggregate funnel)",
+            "all three text gates and the sha window feed ONE flag frame; "
+            "the funnel is a single HashAggregate over it (six conditional "
+            "sums) — no per-stage count jobs — and the near-dup drop set "
+            "arrives through one left join:",
+            cap(QUERIES["training_funnel"](spark, SF_DIR)),
+        )
+    )
+
     out = ["# Physical-plan evidence (explain formatted)\n"]
     for title, note, plan in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")

@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     "dedup_cosine_lsh",
     "dedup_minhash_pairs",
     "dedup_connected_components",
+    "training_funnel",
 ]
 
 

@@ -18,7 +18,8 @@ from .catalog import QUERIES as _QUERIES
 #     minhash composition behind jobs/dedup_sweep.py),
 #     dedup_connected_components (exact dedup-group labeling),
 #     ann_ivf_topk (full IVF pipeline at nprobe=n_cells => exact, so
-#     the brute-force SQL is a true oracle);
+#     the brute-force SQL is a true oracle), training_funnel (the
+#     composed prep pipeline behind jobs/prepare_corpus.py);
 #   then the rest of the r4-displaced set (green in r3, absent from r4).
 _FRONT = [
     "hash_cache_digest",
@@ -30,6 +31,7 @@ _FRONT = [
     "dedup_minhash_pairs",
     "dedup_connected_components",
     "ann_ivf_topk",
+    "training_funnel",
     "bm25_topk",
     "filter_glob_v2",
     "lang_detect_full",

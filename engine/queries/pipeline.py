@@ -228,13 +228,23 @@ def dedup_minhash_bands(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_minhash_pairs",
-    f"""
-    WITH words AS (
+def _minhash_pairs_cte(src: str) -> str:
+    """DuckDB CTE chain ``words -> shingles -> hashed -> bands -> prs``
+    over source relation ``src`` (must expose doc_id, text): near-dup
+    pairs whose minhash signatures agree on >= 4 of 8 components (the
+    est-Jaccard >= 0.5 shortlist).  Shared by the three oracles that
+    need the pair relation so the mix constants and shingle
+    construction are embedded identically everywhere."""
+    band_a = " ".join(
+        f"WHEN {b} THEN {MIX_A[b]}" for b in range(N_MINHASH_BANDS)
+    )
+    band_b = " ".join(
+        f"WHEN {b} THEN {MIX_B[b]}" for b in range(N_MINHASH_BANDS)
+    )
+    return f"""words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word,
              generate_subscripts(string_split(text, ' '), 1) AS pos
-      FROM documents
+      FROM {src}
     ), shingles AS (
       SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
       FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
@@ -246,19 +256,25 @@ def dedup_minhash_bands(spark, sf_dir):
       FROM shingles
     ), bands AS (
       SELECT doc_id, band,
-             min((hm * CASE band {' '.join(f'WHEN {b} THEN {MIX_A[b]}' for b in range(N_MINHASH_BANDS))} END
-                  + CASE band {' '.join(f'WHEN {b} THEN {MIX_B[b]}' for b in range(N_MINHASH_BANDS))} END)
+             min((hm * CASE band {band_a} END
+                  + CASE band {band_b} END)
                  % {MIX_P}) AS sig
       FROM hashed, (SELECT unnest(range({N_MINHASH_BANDS})) AS band)
       GROUP BY doc_id, band
-    ), pairs AS (
+    ), prs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    )"""
+
+
+@q(
+    "dedup_minhash_pairs",
+    f"""
+    WITH {_minhash_pairs_cte('documents')}
     SELECT doc_a, doc_b, round(matches / 8.0, 6) AS est_jaccard
-    FROM pairs WHERE matches >= 4 ORDER BY doc_a, doc_b
+    FROM prs ORDER BY doc_a, doc_b
     """,
 )
 def dedup_minhash_pairs(spark, sf_dir):
@@ -287,32 +303,7 @@ def dedup_minhash_pairs(spark, sf_dir):
 @q(
     "dedup_connected_components",
     f"""
-    WITH RECURSIVE words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-             generate_subscripts(string_split(text, ' '), 1) AS pos
-      FROM documents
-    ), shingles AS (
-      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
-      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-                   JOIN words c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-    ), hashed AS (
-      SELECT doc_id,
-             CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)
-               % {MIX_P} AS hm
-      FROM shingles
-    ), bands AS (
-      SELECT doc_id, band,
-             min((hm * CASE band {' '.join(f'WHEN {b} THEN {MIX_A[b]}' for b in range(N_MINHASH_BANDS))} END
-                  + CASE band {' '.join(f'WHEN {b} THEN {MIX_B[b]}' for b in range(N_MINHASH_BANDS))} END)
-                 % {MIX_P}) AS sig
-      FROM hashed, (SELECT unnest(range({N_MINHASH_BANDS})) AS band)
-      GROUP BY doc_id, band
-    ), prs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 4
-    ), edges AS (
+    WITH RECURSIVE {_minhash_pairs_cte('documents')}, edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM prs
       UNION ALL
       SELECT doc_b, doc_a FROM prs
@@ -874,6 +865,79 @@ def lang_id_heuristic(spark, sf_dir):
     return d.select(
         "doc_id", guess.alias("lang_guess"), F.col("lang").alias("lang_label")
     ).orderBy("doc_id")
+
+
+def _training_funnel_sql() -> str:
+    """Oracle for the composed prep pipeline (engine.prep): cumulative
+    gate flags, sha-window keep-first, the shared minhash pair CTE over
+    the exact survivors, greedy drop, one funnel aggregate."""
+    from engine.prep import LANG_STOPWORDS, MAX_LEN, MAX_PUNCT, MIN_LEN
+
+    # DuckDB string literals are not C-escaped: embed the \b pattern
+    # verbatim (matching the lang_id_heuristic oracle).
+    stops = LANG_STOPWORDS
+    return f"""
+    WITH gates AS (
+      SELECT doc_id, text,
+             (length(text) BETWEEN {MIN_LEN} AND {MAX_LEN}) AS f_len,
+             ((length(text) BETWEEN {MIN_LEN} AND {MAX_LEN}) AND
+              len(regexp_extract_all(lower(text), '{stops}')) >= 1) AS f_lang
+      FROM documents
+    ), quality AS (
+      SELECT *, f_lang AND
+             (CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              / length(text) <= {MAX_PUNCT}) AS f_q,
+             sha256(text) AS sha
+      FROM gates
+    ), ek AS (
+      SELECT *, f_q AND doc_id = min(CASE WHEN f_q THEN doc_id END)
+                          OVER (PARTITION BY sha) AS f_exact
+      FROM quality
+    ), surv AS (
+      SELECT doc_id, text FROM ek WHERE f_exact
+    ), {_minhash_pairs_cte('surv')}, fin AS (
+      SELECT ek.*,
+             f_exact AND doc_id NOT IN (SELECT DISTINCT doc_b FROM prs)
+               AS f_near
+      FROM ek
+    )
+    SELECT 'ingested' AS stage, CAST(count(*) AS BIGINT) AS n FROM fin
+    UNION ALL SELECT 'len_ok',
+      CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) FROM fin
+    UNION ALL SELECT 'lang_ok',
+      CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) FROM fin
+    UNION ALL SELECT 'quality_ok',
+      CAST(sum(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) FROM fin
+    UNION ALL SELECT 'exact_deduped',
+      CAST(sum(CASE WHEN f_exact THEN 1 ELSE 0 END) AS BIGINT) FROM fin
+    UNION ALL SELECT 'near_deduped',
+      CAST(sum(CASE WHEN f_near THEN 1 ELSE 0 END) AS BIGINT) FROM fin
+    ORDER BY stage
+    """
+
+
+@q("training_funnel", _training_funnel_sql())
+def training_funnel(spark, sf_dir):
+    """The composed training-corpus prep pipeline (engine.prep.
+    prepare_training_corpus, the engine of engine/jobs/prepare_corpus.py):
+    length gate -> language-ID -> punctuation-quality gate -> exact
+    dedup keep-first (one window over the content sha) -> MinHash
+    near-dup sweep (greedy drop) — reported as the cumulative survivor
+    funnel, computed with ONE aggregate over a flag frame rather than a
+    count job per stage.
+
+    This is the end-to-end composition check: every stage reuses an
+    individually-verified operator (quality_score / lang_id_heuristic
+    formulas, sha256_content digest, dedup_minhash_pairs machinery) and
+    the oracle recomputes the whole funnel independently, so a
+    composition bug (wrong gate order, dedup seeing pre-filter rows,
+    drop set joined on the wrong side) breaks the hash match even when
+    each piece is green in isolation."""
+    from engine.prep import prepare_training_corpus
+
+    d = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    _, funnel = prepare_training_corpus(d)
+    return funnel.orderBy("stage")
 
 
 # =========================================================================
