@@ -105,6 +105,37 @@ def test_dedup_sweep_cli_table_source(spark, tmp_path, capsys):
     assert len(drops) == 1
 
 
+def test_dedup_sweep_cli_verify_exact(spark, tmp_path):
+    """--verify-exact re-scores the minhash shortlist with EXACT
+    shingle-set Jaccard: a borderline pair the 1/8-granular estimate
+    cannot place is admitted or rejected by the true value."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    base = [f"tok{i}" for i in range(40)]
+    near = list(base)
+    near[5] = "CHANGED"  # kills 3 of 38 shingles -> jaccard = 35/41
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(near)),
+         (3, " ".join(f"z{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+
+    out_lo = str(tmp_path / "lo")
+    assert sweep_main(["--input", src, "--method", "minhash",
+                       "--verify-exact", "--threshold", "0.8",
+                       "--output", out_lo, "--emit", "pairs"]) == 0
+    got = {(r["doc_a"], r["doc_b"]): r["score"]
+           for r in spark.read.parquet(out_lo).collect()}
+    assert set(got) == {(1, 2)} and abs(got[(1, 2)] - 35 / 41) < 1e-9
+
+    out_hi = str(tmp_path / "hi")
+    assert sweep_main(["--input", src, "--method", "minhash",
+                       "--verify-exact", "--threshold", "0.9",
+                       "--output", out_hi, "--emit", "pairs"]) == 0
+    assert spark.read.parquet(out_hi).count() == 0
+
+
 def test_dedup_sweep_cli_components_policy(spark, tmp_path):
     """--drop-policy components keeps one row per component even when
     the pair graph is a star through the largest id (greedy would keep
