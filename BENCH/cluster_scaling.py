@@ -485,9 +485,16 @@ Raw JSON: `BENCH/scaling_result.json`; stderr logs:
 `BENCH/cluster_worker_{n_lo}.log`, `BENCH/cluster_worker_{n_hi}.log`.
 """
     if not rep_default_shape:
+        # SCALE_BATCH_TAG names the batch file directly (e.g. r5) so a
+        # fresh study run never clobbers the POOLED canonical
+        # scaling_result_lc_{n}_c{cores}.json (the pool is rebuilt from
+        # the batch files via pool_results.py).
+        tag = os.environ.get("SCALE_BATCH_TAG")
+        suffix = f"_{tag}" if tag else ""
         with open(os.path.join(
                 REPO, "BENCH",
-                f"scaling_result_lc_{n_files}_c{rep_cores}.json"), "w") as f:
+                f"scaling_result_lc_{n_files}_c{rep_cores}{suffix}.json"),
+                "w") as f:
             json.dump(report, f, indent=2)
         return
     sup = os.path.join(REPO, "BENCH", "baseline_supplement.md")
