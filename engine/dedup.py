@@ -52,6 +52,15 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return out
 
 
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for eviction at the next
+    operator's entry.  For composed operators (engine.prep) that must
+    persist a frame BEFORE calling a dedup operator (whose entry-time
+    eviction would otherwise unpersist it) and register it after."""
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
 def _token_hash64(tokens: np.ndarray) -> np.ndarray:
     """Stable 64-bit hashes of a token array in ONE vectorized pass.
 
@@ -572,7 +581,7 @@ def connected_components(
         labels.unpersist()
         labels = new
         if changed == 0:
-            _TRACKED_PERSISTS.append(labels)
+            track_persist(labels)
             return labels
     labels.unpersist()
     raise RuntimeError(

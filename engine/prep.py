@@ -36,11 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .dedup import (
-    _TRACKED_PERSISTS,
-    connected_components,
-    minhash_near_dups,
-)
+from .dedup import connected_components, minhash_near_dups, track_persist
 
 # Gate defaults — shared with the training_funnel oracle f-string
 # (engine.queries.pipeline) so both engines embed identical numbers.
@@ -125,7 +121,7 @@ def prepare_training_corpus(
         raise ValueError(drop_policy)
     # registered AFTER minhash_near_dups so its entry-time eviction of
     # the PREVIOUS operator's persists does not evict this frame
-    _TRACKED_PERSISTS.append(flags)
+    track_persist(flags)
 
     flagged = flags.join(
         drops.withColumn("_dropped", F.lit(True)), id_col, "left"

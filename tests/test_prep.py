@@ -37,7 +37,7 @@ def _docs(spark):
 def test_prepare_training_corpus_funnel_and_kept(spark):
     kept, funnel = prepare_training_corpus(_docs(spark))
     stages = {r["stage"]: r["n"] for r in funnel.collect()}
-    assert list(stages) == sorted(FUNNEL_STAGES) or set(stages) == set(FUNNEL_STAGES)
+    assert set(stages) == set(FUNNEL_STAGES)
     assert stages["ingested"] == 8
     assert stages["len_ok"] == 7          # 3 is too short
     assert stages["lang_ok"] == 6         # 4 has no stopwords
