@@ -31,6 +31,11 @@ BITS = 64
 # across repeated invocations (bench min-of-3 runs measurably slowed by
 # earlier passes' blocks + GC pressure).  Bounded compromise: at most
 # one call's intermediates linger; the next call evicts them first.
+# ASSUMES the usual serial driver pattern (build an operator's plan,
+# collect/write it, then build the next): interleaving plan CONSTRUCTION
+# of two operators, or invoking them from concurrent driver threads,
+# evicts the other plan's caches early — still correct (Spark recomputes
+# unpersisted frames), but the subtree-once property degrades.
 _TRACKED_PERSISTS: list = []
 
 
@@ -116,55 +121,62 @@ def simhash_near_dups(
     text_col: str = "content",
     max_hamming: int = 3,
     n_bands: int = 4,
+    cap: int = 256,
 ) -> DataFrame:
     """Candidate pairs within ``max_hamming`` bits.
 
     Pigeonhole: two signatures within k bits agree exactly on >= 1 of
     k+1 bands — so banding with ``n_bands = max_hamming + 1`` finds ALL
     such pairs while joining only on short band keys.
+
+    Same bounded shape as the ``dedup_simhash`` catalog query (the r4
+    fix is applied at the OPERATOR, which the ``dedup_sweep`` job
+    calls, not just in the query twin): candidate pairs come from
+    ``chunked_pair_candidates`` — a degenerate band bucket (thousands
+    of identical or templated documents sharing a band value) is
+    hash-split into <=``cap``-member chunks and paired through a
+    triangle equi-join, so no single task materializes a whole bucket
+    or its n^2 pairs, and the fingerprint UDF subtree executes ONCE
+    (persisted chunk relation) instead of once per self-join side.
+    The Hamming verify runs map-side, before the cross-band distinct —
+    only surviving pairs shuffle.
     """
     n_bands = max(n_bands, max_hamming + 1)
     width = BITS // n_bands
     sigs = with_simhash(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("id"), "simhash"
+        F.col(id_col).alias("doc_id"), F.col("simhash").alias("fp")
     )
     bands = sigs.select(
-        "id",
-        "simhash",
+        "doc_id",
+        "fp",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(F.col("fp"), b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
+                        .alias("bv"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
+    ).select("doc_id", "fp", F.col("bk.b").alias("b"), F.col("bk.bv").alias("bv"))
+
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming")
+
+    def _verify(raw: DataFrame) -> DataFrame:
+        return raw.select("doc_a", "doc_b", hamming).filter(
+            F.col("hamming") <= max_hamming
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    return pairs.orderBy("id_a", "id_b")
+
+    cand = chunked_pair_candidates(bands, cap=cap, verify=_verify)
+    return cand.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -199,10 +211,15 @@ def cosine_pairs_within_buckets(
     shuffle key; each task's work is quadratic only in ITS bucket size,
     so salting/band-splitting bounds the largest task.
     """
+    # id_a/id_b inherit the input id column's type — the dedup_sweep
+    # CLI synthesizes STRING row identities for engine tables, and a
+    # hardcoded LongType here would make Arrow reject them at the
+    # kernel boundary.
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cos_raw", T.DoubleType()),
         ]
     )
@@ -408,6 +425,32 @@ MIX_A = [1103515245, 69069, 1664525, 22695477, 48271, 65539, 134775813, 214013]
 MIX_B = [12345, 362437, 1013904223, 1, 11, 7, 2531011, 2577]
 
 
+def shingles_3w(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, shingle)`` — the 3-word shingles of each document
+    (WITH multiplicity; callers needing set semantics add distinct).
+
+    Single-sourced: the minhash shortlist (``minhash_signatures``) and
+    the exact verify (``ngram_jaccard_verify``) must shingle IDENTICALLY
+    for the shortlist->verify composition to be sound — a drift (n-gram
+    width, separator) applied to one stage would silently score a
+    different shingle universe than the shortlist was built from."""
+    words = F.split(text_col, " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(0))),
+                lambda _, i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -423,21 +466,7 @@ def minhash_signatures(
 
     Shared by the ``dedup_minhash_bands`` / ``dedup_minhash_pairs``
     oracle queries and the ``minhash_near_dups`` job operator."""
-    words = F.split(text_col, " ")
-    shingles = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(0))),
-                lambda _, i: F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    )
+    shingles = shingles_3w(df, id_col, text_col)
     hm = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
         % F.lit(MIX_P)
@@ -613,21 +642,7 @@ def ngram_jaccard_verify(
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     assert threshold > 0.0, "threshold must be positive (empty intersections are dropped)"
-    words = F.split(text_col, " ")
-    sets = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(0))),
-                lambda _, i: F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
+    sets = shingles_3w(df, id_col, text_col).distinct()
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cand = pairs.select("doc_a", "doc_b")
     rhs = sets.select(

@@ -18,7 +18,8 @@ and printing a one-line JSON summary:
                  estimate >= --threshold (engine.dedup.minhash_near_dups;
                  degenerate buckets chunk-bounded).
 - ``simhash``    64-bit SimHash banding, Hamming <= --max-hamming
-                 (engine.dedup.simhash_near_dups).
+                 (engine.dedup.simhash_near_dups; degenerate buckets
+                 chunk-bounded, Hamming verified map-side).
 - ``cosine-lsh`` sign-LSH bucketed exact-cosine verify over an embedding
                  column, cos >= --threshold
                  (engine.dedup.cosine_near_dup_lsh).
@@ -62,21 +63,7 @@ import sys
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _load(spark, args) -> tuple[DataFrame, str]:
-    """Return (input df, id column name)."""
-    if args.table:
-        from ..tablefmt import Table
-
-        df = Table.load(args.table).scan(spark)
-        id_col = args.id_col
-        if id_col not in df.columns:
-            # synthesize a stable row identity from the table's natural key
-            df = df.withColumn(
-                id_col, F.concat_ws("\x1f", "repo", "path", "commit")
-            )
-        return df, id_col
-    return spark.read.parquet(args.input), args.id_col
+from .source import add_source_args, load_corpus, resolve_text_col
 
 
 def sweep(df: DataFrame, args) -> DataFrame:
@@ -116,7 +103,8 @@ def sweep(df: DataFrame, args) -> DataFrame:
         from ..dedup import simhash_near_dups
 
         return simhash_near_dups(
-            df, id_col, args.text_col, max_hamming=args.max_hamming
+            df, id_col, args.text_col, max_hamming=args.max_hamming,
+            cap=args.bucket_cap,
         ).select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -139,9 +127,7 @@ def sweep(df: DataFrame, args) -> DataFrame:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="near-duplicate sweep job")
-    src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet path of the corpus")
-    src.add_argument("--table", help="engine table root (scans current snapshot)")
+    add_source_args(p)
     p.add_argument("--output", required=True, help="parquet output path")
     p.add_argument(
         "--method", required=True,
@@ -150,9 +136,6 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--emit", choices=["pairs", "drops", "keep"], default="pairs")
     p.add_argument("--drop-policy", choices=["greedy", "components"],
                    default="greedy")
-    p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--text-col", default=None,
-                   help="default: 'content' with --table, else 'text'")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="minhash est-Jaccard / cosine threshold")
@@ -172,13 +155,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
-    if args.text_col is None:
-        args.text_col = "content" if args.table else "text"
+    resolve_text_col(args)
 
     from ..session import get_spark
 
     spark = get_spark(app_name=f"dedup-{args.method}", master=args.master)
-    df, args.id_col_resolved = _load(spark, args)
+    df, args.id_col_resolved = load_corpus(spark, args)
 
     pairs = sweep(df, args)
     if args.emit == "pairs":

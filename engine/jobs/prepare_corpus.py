@@ -28,7 +28,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
+from .source import add_source_args, load_corpus, resolve_text_col
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -41,14 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = argparse.ArgumentParser(description="training-corpus prep job")
-    src = p.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet path of the corpus")
-    src.add_argument("--table", help="engine table root (scans current snapshot)")
+    add_source_args(p)
     p.add_argument("--output", required=True, help="parquet output path")
     p.add_argument("--emit", choices=["kept", "funnel"], default="kept")
-    p.add_argument("--id-col", default="doc_id")
-    p.add_argument("--text-col", default=None,
-                   help="default: 'content' with --table, else 'text'")
     p.add_argument("--min-len", type=int, default=MIN_LEN)
     p.add_argument("--max-len", type=int, default=MAX_LEN)
     p.add_argument("--max-punct", type=float, default=MAX_PUNCT)
@@ -58,26 +53,16 @@ def main(argv: list[str] | None = None) -> int:
                    default="greedy")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
-    if args.text_col is None:
-        args.text_col = "content" if args.table else "text"
+    resolve_text_col(args)
 
     from ..session import get_spark
 
     spark = get_spark(app_name="prepare-corpus", master=args.master)
-    if args.table:
-        from ..tablefmt import Table
-
-        df = Table.load(args.table).scan(spark)
-        if args.id_col not in df.columns:
-            df = df.withColumn(
-                args.id_col, F.concat_ws("\x1f", "repo", "path", "commit")
-            )
-    else:
-        df = spark.read.parquet(args.input)
+    df, id_col = load_corpus(spark, args)
 
     kept, funnel = prepare_training_corpus(
         df,
-        id_col=args.id_col,
+        id_col=id_col,
         text_col=args.text_col,
         min_len=args.min_len,
         max_len=args.max_len,
@@ -85,9 +70,17 @@ def main(argv: list[str] | None = None) -> int:
         neardup_threshold=args.neardup_threshold,
         drop_policy=args.drop_policy,
     )
-    out_df = funnel if args.emit == "funnel" else kept
+    # The funnel plan is executed ONCE (its 6 collected rows serve both
+    # the printed summary and, under --emit funnel, the written
+    # relation); under --emit kept the write still shares the persisted
+    # flag frame, so the near-dup machinery is not re-run per emit.
+    funnel_rows = funnel.collect()
+    if args.emit == "funnel":
+        out_df = spark.createDataFrame(funnel_rows, funnel.schema)
+    else:
+        out_df = kept
     out_df.write.mode("overwrite").parquet(args.output)
-    stages = {r["stage"]: r["n"] for r in funnel.collect()}
+    stages = {r["stage"]: r["n"] for r in funnel_rows}
     print(json.dumps({
         "op": "prepare-corpus", "emit": args.emit, "funnel": stages,
         "output": args.output,

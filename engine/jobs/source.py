@@ -1,0 +1,55 @@
+"""Shared corpus-source plumbing for the job CLIs.
+
+``dedup_sweep`` and ``prepare_corpus`` accept the same mutually
+exclusive ``--input`` (parquet path) / ``--table`` (engine table root)
+source, the same ``--id-col`` / ``--text-col`` conventions, and the
+same synthesized row identity for tables whose schema lacks the id
+column.  Single-sourced here so the identity scheme cannot drift
+between jobs: two sweeps over the same table MUST agree on row
+identity for their drop sets to compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def add_source_args(p) -> None:
+    """Register the shared source/column arguments on ``p``."""
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet path of the corpus")
+    src.add_argument(
+        "--table", help="engine table root (scans current snapshot)"
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--text-col",
+        default=None,
+        help="default: 'content' with --table, else 'text'",
+    )
+
+
+def resolve_text_col(args) -> None:
+    if args.text_col is None:
+        args.text_col = "content" if args.table else "text"
+
+
+def load_corpus(spark, args) -> tuple[DataFrame, str]:
+    """Return ``(input df, id column name)`` for the parsed args.
+
+    Engine tables without the id column get a stable STRING row
+    identity synthesized from the natural key ``(repo, path, commit)``
+    — \\x1f-joined so no path component can collide with the separator.
+    """
+    if args.table:
+        from ..tablefmt import Table
+
+        df = Table.load(args.table).scan(spark)
+        id_col = args.id_col
+        if id_col not in df.columns:
+            df = df.withColumn(
+                id_col, F.concat_ws("\x1f", "repo", "path", "commit")
+            )
+        return df, id_col
+    return spark.read.parquet(args.input), args.id_col

@@ -123,9 +123,16 @@ def prepare_training_corpus(
     # the PREVIOUS operator's persists does not evict this frame
     track_persist(flags)
 
-    flagged = flags.join(
-        drops.withColumn("_dropped", F.lit(True)), id_col, "left"
-    ).withColumn("f_near", F.col("f_exact") & F.col("_dropped").isNull())
+    # flagged is persisted too: callers consuming BOTH outputs (the
+    # prepare_corpus CLI collects the funnel and writes the kept rows)
+    # would otherwise re-run the pair machinery + drop join per action.
+    flagged = track_persist(
+        flags.join(
+            drops.withColumn("_dropped", F.lit(True)), id_col, "left"
+        )
+        .withColumn("f_near", F.col("f_exact") & F.col("_dropped").isNull())
+        .persist()
+    )
 
     def n(flag):
         return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")

@@ -268,3 +268,39 @@ def test_ngram_jaccard_verify_exact(spark):
     assert set(got) == {(1, 2)}
     # exact jaccard: |inter|=35 shared shingles, union 41
     assert abs(got[(1, 2)] - 35 / 41) < 1e-9
+
+
+def test_simhash_near_dups_bounded_bucket(spark):
+    """The JOB-facing simhash operator shares the chunk-bounded shape
+    (r5: the r4 degenerate-bucket fix applied at the operator, not just
+    the dedup_simhash query twin): a corpus of identical documents —
+    every band bucket degenerate — still yields the exact pair set with
+    hamming 0 through the triangle join."""
+    from engine.dedup import simhash_near_dups
+
+    text = "the same exact document body repeated verbatim " * 6
+    df = spark.createDataFrame(
+        [(i, text) for i in range(40)], ["doc_id", "content"]
+    )
+    pairs = simhash_near_dups(df, "doc_id", "content", cap=8).collect()
+    assert len(pairs) == 40 * 39 // 2
+    assert all(r["hamming"] == 0 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_cosine_near_dup_lsh_string_ids(spark):
+    """id_a/id_b inherit the input id type (the dedup_sweep CLI
+    synthesizes STRING row identities for engine tables; a LongType
+    kernel schema would make Arrow reject them)."""
+    from engine.dedup import cosine_near_dup_lsh
+
+    df, planted = _planted_embeddings(spark, n=60, n_dups=4)
+    sdf = df.withColumn("vec_id", F.concat(F.lit("doc-"), "vec_id"))
+    got = cosine_near_dup_lsh(
+        sdf, "vec_id", "embedding", threshold=0.9,
+        n_tables=8, n_planes=8, dim=64,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    want = {(f"doc-{a}", f"doc-{b}") for a, b in planted}
+    assert want <= pairs, want - pairs
+    assert all(isinstance(r["id_a"], str) for r in got)
