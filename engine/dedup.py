@@ -122,6 +122,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     n_bands: int = 4,
     cap: int = 256,
+    collapse_fps: bool = False,
 ) -> DataFrame:
     """Candidate pairs within ``max_hamming`` bits.
 
@@ -131,47 +132,21 @@ def simhash_near_dups(
 
     Same bounded shape as the ``dedup_simhash`` catalog query (the r4
     fix is applied at the OPERATOR, which the ``dedup_sweep`` job
-    calls, not just in the query twin): candidate pairs come from
-    ``chunked_pair_candidates`` — a degenerate band bucket (thousands
-    of identical or templated documents sharing a band value) is
-    hash-split into <=``cap``-member chunks and paired through a
-    triangle equi-join, so no single task materializes a whole bucket
-    or its n^2 pairs, and the fingerprint UDF subtree executes ONCE
-    (persisted chunk relation) instead of once per self-join side.
-    The Hamming verify runs map-side, before the cross-band distinct —
-    only surviving pairs shuffle.
+    calls, not just in the query twin): ``hamming_pairs_from_fps``
+    collapses to distinct fingerprints, chunk-bounds degenerate band
+    buckets through a triangle equi-join (no single task materializes
+    a whole bucket or its n^2 pairs) and verifies Hamming map-side.
+    ``collapse_fps=True`` additionally runs the banding over distinct
+    fingerprints — see hamming_pairs_from_fps for when that pays.
     """
     n_bands = max(n_bands, max_hamming + 1)
     width = BITS // n_bands
     sigs = with_simhash(df.select(id_col, text_col), text_col).select(
         F.col(id_col).alias("doc_id"), F.col("simhash").alias("fp")
     )
-    bands = sigs.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftrightunsigned(F.col("fp"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bv"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "fp", F.col("bk.b").alias("b"), F.col("bk.bv").alias("bv"))
-
-    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming")
-
-    def _verify(raw: DataFrame) -> DataFrame:
-        return raw.select("doc_a", "doc_b", hamming).filter(
-            F.col("hamming") <= max_hamming
-        )
-
-    cand = chunked_pair_candidates(bands, cap=cap, verify=_verify)
+    cand = hamming_pairs_from_fps(
+        sigs, n_bands, width, max_hamming, cap=cap, collapse_fps=collapse_fps
+    )
     return cand.select(
         F.col("doc_a").alias("id_a"),
         F.col("doc_b").alias("id_b"),
@@ -407,6 +382,128 @@ def chunked_pair_candidates(
     if verify is not None:
         raw = verify(raw)
     return raw.distinct()
+
+
+def _band_explode(
+    fp_rel: DataFrame, n_bands: int, band_width: int
+) -> DataFrame:
+    """(doc_id, fp) -> one row per band: (doc_id, fp, b, bv) — the
+    input shape of ``chunked_pair_candidates``."""
+    mask = (1 << band_width) - 1
+    return fp_rel.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftrightunsigned(F.col("fp"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", F.col("bk.b").alias("b"), F.col("bk.bv").alias("bv"))
+
+
+def hamming_pairs_from_fps(
+    fp_df: DataFrame,
+    n_bands: int,
+    band_width: int,
+    max_hamming: int,
+    cap: int = 256,
+    collapse_fps: bool = False,
+) -> DataFrame:
+    """All doc pairs whose fingerprints differ in <= ``max_hamming``
+    bits, from a ``(doc_id, fp)`` relation.
+
+    Bands must tile the fingerprint domain: ``n_bands * band_width`` =
+    fp bits, ``n_bands >= max_hamming + 1`` (pigeonhole completeness —
+    any pair within the bound shares at least one whole band).
+
+    Default path: band the documents directly and pair within buckets
+    via ``chunked_pair_candidates`` (degenerate buckets chunk-bounded,
+    Hamming verified map-side so failing candidates never shuffle).
+
+    ``collapse_fps=True`` runs the quadratic banding over DISTINCT
+    fingerprints instead: identical-fp doc pairs (trivially Hamming 0)
+    come from one linear, output-bounded equi-join on fp, and fp pairs
+    surviving the banded verify expand back to doc pairs through two
+    candidate-bounded joins.  Candidate volume divides by the squared
+    mean fp multiplicity — the right shape for exact-duplication-heavy
+    raw web corpora (multiplicity >> 1).  It is NOT the default
+    because the extra stages (distinct + three joins) cost more than
+    they save when multiplicity is near 1 — measured on the synthetic
+    sf0.1 corpus (multiplicity 1.31, candidates 2.27M -> 0.64M):
+    direct 4.9 s vs collapsed 8.5 s, identical 271,530-pair output —
+    and pipelines that exact-dedup before near-dup (prepare_corpus)
+    re-enter that low-multiplicity regime.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    """
+    assert n_bands >= max_hamming + 1, "pigeonhole needs max_hamming+1 bands"
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+
+    def _verify(raw: DataFrame) -> DataFrame:
+        return raw.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+            F.col("hamming") <= max_hamming
+        )
+
+    if not collapse_fps:
+        bands = _band_explode(
+            fp_df.select("doc_id", "fp"), n_bands, band_width
+        )
+        return chunked_pair_candidates(bands, cap=cap, verify=_verify)
+
+    # persisted NOW (the fingerprint subtree above it is the expensive
+    # part and every branch below reads it), registered for eviction
+    # only AFTER the chunked_pair_candidates call — whose entry-time
+    # eviction clears previous operators' caches, not this one
+    docs = fp_df.select("doc_id", "fp").persist()
+    # distinct fps, banded; the fp doubles as chunked_pair_candidates'
+    # doc_id so the triangle join pairs DISTINCT FINGERPRINTS (equal
+    # fps cannot pair — doc_a < doc_b over fps — so the verified
+    # distances are 1..max_hamming)
+    fpu = docs.select(F.col("fp").alias("doc_id"), "fp").distinct()
+    fpairs = chunked_pair_candidates(
+        _band_explode(fpu, n_bands, band_width), cap=cap, verify=_verify
+    )
+    track_persist(docs)
+
+    # identical-fp doc pairs: hamming 0 by construction — one equi-join
+    l = docs.select(F.col("doc_id").alias("da"), "fp")
+    r = docs.select(F.col("doc_id").alias("db"), "fp")
+    h0 = (
+        l.join(r, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # expand surviving fp pairs to doc pairs (every member of group fpa
+    # x every member of group fpb; orientation by id)
+    ga = docs.select(F.col("fp").alias("fpa"), F.col("doc_id").alias("da"))
+    gb = docs.select(F.col("fp").alias("fpb"), F.col("doc_id").alias("db"))
+    expanded = (
+        fpairs.select(
+            F.col("doc_a").alias("fpa"),
+            F.col("doc_b").alias("fpb"),
+            "hamming",
+        )
+        .join(ga, "fpa")
+        .join(gb, "fpb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return h0.unionByName(expanded)
 
 
 # ---------------------------------------------------------------------------

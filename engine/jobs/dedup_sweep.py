@@ -104,7 +104,7 @@ def sweep(df: DataFrame, args) -> DataFrame:
 
         return simhash_near_dups(
             df, id_col, args.text_col, max_hamming=args.max_hamming,
-            cap=args.bucket_cap,
+            cap=args.bucket_cap, collapse_fps=args.collapse_fps,
         ).select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -145,6 +145,11 @@ def main(argv: list[str] | None = None) -> int:
                         "joins) and apply --threshold to the exact value")
     p.add_argument("--max-hamming", type=int, default=3)
     p.add_argument("--bucket-cap", type=int, default=256)
+    p.add_argument("--collapse-fps", action="store_true",
+                   help="simhash only: run the quadratic banding over "
+                        "DISTINCT fingerprints (pays on exact-"
+                        "duplication-heavy corpora; see "
+                        "engine.dedup.hamming_pairs_from_fps)")
     # defaults match the dedup_cosine_lsh catalog query's banding, the
     # configuration with MEASURED recall 1.0 on the test corpora
     # (BENCH/ANN_RECALL.json recall-vs-tables curve); fewer/longer

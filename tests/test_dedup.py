@@ -304,3 +304,28 @@ def test_cosine_near_dup_lsh_string_ids(spark):
     want = {(f"doc-{a}", f"doc-{b}") for a, b in planted}
     assert want <= pairs, want - pairs
     assert all(isinstance(r["id_a"], str) for r in got)
+
+
+def test_simhash_collapse_fps_matches_direct(spark):
+    """collapse_fps=True (distinct-fingerprint banding + identical-fp
+    equi-join + expansion) returns exactly the direct path's pair set
+    — including duplicates that must surface as hamming-0 pairs."""
+    from engine.dedup import simhash_near_dups
+
+    df = corpus.generate_corpus(spark, n_files=60, n_repos=2, partitions=2)
+    dups = df.limit(5).withColumn("path", F.concat(F.lit("copy/"), "path"))
+    docs = df.unionByName(dups).withColumn(
+        "doc_key", F.concat_ws("/", "repo", "path")
+    )
+    direct = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(docs, "doc_key", "content").collect()
+    }
+    collapsed = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(
+            docs, "doc_key", "content", collapse_fps=True
+        ).collect()
+    }
+    assert collapsed == direct
+    assert any(h == 0 for _, _, h in direct)  # the planted copies
