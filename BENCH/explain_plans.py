@@ -189,9 +189,11 @@ def main() -> None:
             "SimHash near-dup (60-bit fingerprint, 4-band LSH)",
             "all 60 per-bit vote sums are aggregate columns of ONE "
             "groupBy(doc_id) over the token relation (no 60x row "
-            "multiplication); candidate pairs come from the band-bucket "
-            "self-join (shuffle key = (band, band_value)), never an "
-            "all-pairs compare:",
+            "multiplication); candidate pairs come from the shared "
+            "hamming_pairs_from_fps machinery — chunk-bounded band "
+            "buckets paired via a triangle equi-join on "
+            "(band, band_value, target_chunk), Hamming verified "
+            "map-side — never an all-pairs compare:",
             cap(QUERIES["dedup_simhash"](spark, SF_DIR)),
         )
     )
