@@ -162,3 +162,36 @@ def test_dedup_sweep_cli_components_policy(spark, tmp_path):
     # components keeps exactly one survivor per near-dup group
     assert 4 in kept_c and len(kept_c) >= 2
     assert kept_c <= kept_g  # exact policy never keeps more than greedy
+
+
+def test_dedup_sweep_cli_simhash_collapse(spark, tmp_path):
+    """--method simhash through the CLI, with and without
+    --collapse-fps: identical-text groups surface as hamming-0 pairs
+    and the two candidate shapes emit identical relations."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    text_a = "the quick brown fox jumps over the lazy dog " * 6
+    text_b = "pack my box with five dozen liquor jugs today " * 6
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_a), (4, text_b), (5, text_b),
+         (6, "unique words " + " ".join(f"u{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+
+    out_d = str(tmp_path / "sh_direct")
+    assert sweep_main(["--input", src, "--method", "simhash",
+                       "--output", out_d, "--emit", "pairs"]) == 0
+    direct = {(r["doc_a"], r["doc_b"], r["score"])
+              for r in spark.read.parquet(out_d).collect()}
+    assert {(a, b) for a, b, _ in direct} >= {(1, 2), (1, 3), (2, 3), (4, 5)}
+    assert all(s == 0.0 for a, b, s in direct
+               if (a, b) in {(1, 2), (1, 3), (2, 3), (4, 5)})
+
+    out_c = str(tmp_path / "sh_collapse")
+    assert sweep_main(["--input", src, "--method", "simhash",
+                       "--collapse-fps",
+                       "--output", out_c, "--emit", "pairs"]) == 0
+    collapsed = {(r["doc_a"], r["doc_b"], r["score"])
+                 for r in spark.read.parquet(out_c).collect()}
+    assert collapsed == direct
