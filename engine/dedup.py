@@ -644,6 +644,65 @@ def minhash_near_dups(
     return chunked_pair_candidates(bands, cap=cap, verify=_verify)
 
 
+def minhash_near_dups_against(
+    index_sigs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross near-dup pairs between a persisted signature INDEX and a
+    new batch — the INCREMENTAL sweep shape: at 100 TB the corpus is
+    shingled once (``minhash_signatures`` persisted as a signature
+    index, e.g. via ``dedup_sweep --emit signatures``) and each new
+    delta compares against it without re-reading a byte of corpus
+    text.  Only signatures (8 longs per document) participate.
+
+    ``index_sigs``: ``(doc_id, fp: array<long>)`` as produced by
+    ``minhash_signatures``.  ``df``: the new batch (raw text; its
+    signatures are computed here with the same shared construction).
+
+    Shape: both sides posexplode to (band, sig) rows and meet in ONE
+    equi-join on the short band keys — a plain join (not the
+    collect_list shape), so AQE's skew handling splits a hot bucket;
+    the matching-component Jaccard estimate is computed map-side from
+    the signature arrays carried through the join, and only pairs
+    clearing ``threshold`` reach the cross-band distinct.  Within-batch
+    near-dups are NOT emitted (that is the self-sweep's job); run
+    ``minhash_near_dups`` on the batch first if batch-internal dedup is
+    also needed.
+
+    Returns (doc_a = index id, doc_b = batch id, est_jaccard),
+    distinct.
+    """
+    bsigs = minhash_signatures(df, id_col, text_col)
+    ib = index_sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp").alias("fa"),
+        F.posexplode("fp").alias("b", "bv"),
+    )
+    bb = bsigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fb"),
+        F.posexplode("fp").alias("b", "bv"),
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("fa", "fb", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(float(N_MINHASH_BANDS))
+    ).alias("est_jaccard")
+    return (
+        ib.join(bb, ["b", "bv"])
+        .select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        # est is exact rational arithmetic over the same two signature
+        # arrays on every band the pair meets in, so row-level distinct
+        # is safe here (unlike the BLAS cosine case)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -26,10 +26,21 @@ and printing a one-line JSON summary:
 
 ``--emit`` picks the output relation:
 
-- ``pairs``  the near-dup pair relation itself (doc_a < doc_b + score).
-- ``drops``  the ids the drop policy removes (see ``--drop-policy``).
-- ``keep``   the surviving input rows (anti-join of the input against
-             the drop set) — full columns, ready to re-ingest.
+- ``pairs``       the near-dup pair relation (doc_a < doc_b + score).
+- ``drops``       the ids the drop policy removes (``--drop-policy``).
+- ``keep``        the surviving input rows (anti-join of the input
+                  against the drop set) — full columns, ready to
+                  re-ingest.
+- ``signatures``  (minhash) the MinHash signature index
+                  ``(doc_id, fp array<long>)`` — persist once, then
+                  sweep each new delta against it with ``--against``.
+
+``--against SIGS`` (minhash): INCREMENTAL sweep — compare the input
+batch against a previously emitted signature index instead of against
+itself; the corpus is never re-shingled (only 8 longs per indexed doc
+participate).  ``pairs`` emits (doc_a = index id, doc_b = batch id +
+score); ``drops`` emits the batch ids near-duplicating the index;
+``keep`` the batch survivors.
 
 ``--drop-policy`` (for drops/keep):
 
@@ -133,7 +144,13 @@ def main(argv: list[str] | None = None) -> int:
         "--method", required=True,
         choices=["exact", "minhash", "simhash", "cosine-lsh"],
     )
-    p.add_argument("--emit", choices=["pairs", "drops", "keep"], default="pairs")
+    p.add_argument("--emit",
+                   choices=["pairs", "drops", "keep", "signatures"],
+                   default="pairs")
+    p.add_argument("--against", default=None,
+                   help="minhash only: parquet path of a signature "
+                        "index (--emit signatures); sweep the input "
+                        "batch AGAINST it instead of against itself")
     p.add_argument("--drop-policy", choices=["greedy", "components"],
                    default="greedy")
     p.add_argument("--vec-col", default="embedding")
@@ -164,10 +181,38 @@ def main(argv: list[str] | None = None) -> int:
 
     from ..session import get_spark
 
+    if (args.emit == "signatures" or args.against) and args.method != "minhash":
+        p.error("--emit signatures / --against require --method minhash")
+    if args.against and args.emit == "signatures":
+        p.error("--against and --emit signatures are mutually exclusive")
+    if args.against and args.drop_policy == "components":
+        p.error("--against implies the greedy policy (index docs are "
+                "not droppable; every matching batch doc drops)")
+
     spark = get_spark(app_name=f"dedup-{args.method}", master=args.master)
     df, args.id_col_resolved = load_corpus(spark, args)
 
-    pairs = sweep(df, args)
+    if args.emit == "signatures":
+        from ..dedup import minhash_signatures
+
+        out_df = minhash_signatures(df, args.id_col_resolved, args.text_col)
+        out_df.write.mode("overwrite").parquet(args.output)
+        rows = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "op": "dedup-sweep", "method": args.method,
+            "emit": args.emit, "rows": rows, "output": args.output,
+        }))
+        return 0
+
+    if args.against:
+        from ..dedup import minhash_near_dups_against
+
+        pairs = minhash_near_dups_against(
+            spark.read.parquet(args.against), df, args.id_col_resolved,
+            args.text_col, threshold=args.threshold,
+        ).withColumnRenamed("est_jaccard", "score")
+    else:
+        pairs = sweep(df, args)
     if args.emit == "pairs":
         out_df = pairs
     else:

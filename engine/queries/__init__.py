@@ -16,6 +16,8 @@ from .catalog import QUERIES as _QUERIES
 #   changed r4 but displaced from the r4 window: dedup_embedding_cosine;
 #   new r5: filter_gitignore, dedup_minhash_pairs (the job-facing
 #     minhash composition behind jobs/dedup_sweep.py),
+#     dedup_minhash_incremental (batch-vs-signature-index sweep,
+#     dedup_sweep --against),
 #     dedup_connected_components (exact dedup-group labeling),
 #     ann_ivf_topk (full IVF pipeline at nprobe=n_cells => exact, so
 #     the brute-force SQL is a true oracle), training_funnel (the
@@ -29,6 +31,7 @@ _FRONT = [
     "dedup_embedding_cosine",
     "filter_gitignore",
     "dedup_minhash_pairs",
+    "dedup_minhash_incremental",
     "dedup_connected_components",
     "ann_ivf_topk",
     "training_funnel",

@@ -228,13 +228,12 @@ def dedup_minhash_bands(spark, sf_dir):
     )
 
 
-def _minhash_pairs_cte(src: str) -> str:
-    """DuckDB CTE chain ``words -> shingles -> hashed -> bands -> prs``
-    over source relation ``src`` (must expose doc_id, text): near-dup
-    pairs whose minhash signatures agree on >= 4 of 8 components (the
-    est-Jaccard >= 0.5 shortlist).  Shared by the three oracles that
-    need the pair relation so the mix constants and shingle
-    construction are embedded identically everywhere."""
+def _minhash_bands_cte(src: str) -> str:
+    """DuckDB CTE chain ``words -> shingles -> hashed -> bands`` over
+    source relation ``src`` (must expose doc_id, text): per-document
+    per-band minhash signature components.  Single-sourced so the mix
+    constants and shingle construction are embedded identically in
+    every oracle that needs signatures."""
     band_a = " ".join(
         f"WHEN {b} THEN {MIX_A[b]}" for b in range(N_MINHASH_BANDS)
     )
@@ -261,7 +260,15 @@ def _minhash_pairs_cte(src: str) -> str:
                  % {MIX_P}) AS sig
       FROM hashed, (SELECT unnest(range({N_MINHASH_BANDS})) AS band)
       GROUP BY doc_id, band
-    ), prs AS (
+    )"""
+
+
+def _minhash_pairs_cte(src: str) -> str:
+    """``_minhash_bands_cte`` + ``prs``: near-dup pairs whose minhash
+    signatures agree on >= 4 of 8 components (the est-Jaccard >= 0.5
+    shortlist).  Shared by the three oracles that need the pair
+    relation."""
+    return f"""{_minhash_bands_cte(src)}, prs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -336,6 +343,51 @@ def dedup_connected_components(spark, sf_dir):
         connected_components(pairs)
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
+    )
+
+
+@q(
+    "dedup_minhash_incremental",
+    f"""
+    WITH {_minhash_bands_cte('documents')}, prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matches
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    )
+    SELECT doc_a, doc_b, round(matches / 8.0, 6) AS est_jaccard
+    FROM prs ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """The INCREMENTAL near-dup sweep (engine.dedup.
+    minhash_near_dups_against, the engine of ``dedup_sweep --against``):
+    even doc_ids play the persisted signature INDEX (only their
+    ``minhash_signatures`` output participates — at 100 TB the corpus
+    text is shingled once and never re-read), odd doc_ids play the new
+    batch; emit every (index, batch) pair whose signatures agree on
+    >= 4 of 8 components.
+
+    Scale shape: one equi-join on short (band, sig) keys between the
+    index's exploded signature rows and the batch's — a plain join AQE
+    can skew-split, with the Jaccard estimate computed map-side from
+    the signature arrays carried through the join; only pairs clearing
+    the threshold reach the cross-band distinct.  The oracle recomputes
+    both sides' signatures from text and counts matching bands per
+    cross-parity pair — an independent formulation."""
+    from engine.dedup import minhash_near_dups_against, minhash_signatures
+
+    d = t_wide(spark, sf_dir, "documents")
+    index_sigs = minhash_signatures(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        minhash_near_dups_against(index_sigs, batch, "doc_id", "text",
+                                  threshold=0.5)
+        .select("doc_a", "doc_b",
+                F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -329,3 +329,27 @@ def test_simhash_collapse_fps_matches_direct(spark):
     }
     assert collapsed == direct
     assert any(h == 0 for _, _, h in direct)  # the planted copies
+
+
+def test_minhash_near_dups_against_index(spark):
+    """Incremental sweep: a batch doc near-duplicating an INDEXED doc
+    is found from signatures alone; batch-internal near-dups are NOT
+    emitted (the self-sweep's job); batch-unique docs never pair."""
+    from engine.dedup import minhash_near_dups_against, minhash_signatures
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+    near = list(base)
+    near[5] = "MUTATED"
+    index_rows = [(1, " ".join(base)),
+                  (2, " ".join(f"i{k} j{k} k{k}" for k in range(40)))]
+    batch_rows = [(101, " ".join(near)),        # near-dup of indexed 1
+                  (102, " ".join(near)),        # near-dup of 1 AND of 101
+                  (103, " ".join(f"q{k} r{k} s{k}" for k in range(40)))]
+    idx = spark.createDataFrame(index_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    sigs = minhash_signatures(idx, "doc_id", "text")
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in minhash_near_dups_against(
+               sigs, batch, "doc_id", "text", threshold=0.5).collect()}
+    assert set(got) == {(1, 101), (1, 102)}, got
+    assert all(v >= 0.5 for v in got.values())

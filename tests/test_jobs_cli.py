@@ -195,3 +195,47 @@ def test_dedup_sweep_cli_simhash_collapse(spark, tmp_path):
     collapsed = {(r["doc_a"], r["doc_b"], r["score"])
                  for r in spark.read.parquet(out_c).collect()}
     assert collapsed == direct
+
+
+def test_dedup_sweep_cli_incremental(spark, tmp_path, capsys):
+    """--emit signatures then --against: the index is built once, the
+    batch sweeps against it without re-reading corpus text, and
+    drops/keep apply to the batch side only."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    text_a = "the quick brown fox jumps over the lazy dog " * 6
+    corpus_src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, text_a),
+         (2, "indexed words " + " ".join(f"w{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    ).write.parquet(corpus_src)
+
+    sigs = str(tmp_path / "sigs")
+    assert sweep_main(["--input", corpus_src, "--method", "minhash",
+                       "--output", sigs, "--emit", "signatures"]) == 0
+    sig_df = spark.read.parquet(sigs)
+    assert set(sig_df.columns) == {"doc_id", "fp"}
+    assert sig_df.count() == 2
+
+    batch_src = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(101, text_a),  # exact dup of indexed 1
+         (102, "fresh words " + " ".join(f"n{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    ).write.parquet(batch_src)
+
+    out_pairs = str(tmp_path / "inc_pairs")
+    assert sweep_main(["--input", batch_src, "--method", "minhash",
+                       "--against", sigs,
+                       "--output", out_pairs, "--emit", "pairs"]) == 0
+    pairs = {(r["doc_a"], r["doc_b"], r["score"])
+             for r in spark.read.parquet(out_pairs).collect()}
+    assert pairs == {(1, 101, 1.0)}
+
+    out_keep = str(tmp_path / "inc_keep")
+    assert sweep_main(["--input", batch_src, "--method", "minhash",
+                       "--against", sigs,
+                       "--output", out_keep, "--emit", "keep"]) == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out_keep).collect()}
+    assert kept == {102}
