@@ -644,6 +644,49 @@ def minhash_near_dups(
     return chunked_pair_candidates(bands, cap=cap, verify=_verify)
 
 
+def simhash_near_dups_against(
+    index_sigs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "content",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Cross near-dup pairs between a persisted SimHash fingerprint
+    INDEX (``doc_id, fp: long`` — e.g. ``dedup_sweep --method simhash
+    --emit signatures``) and a new batch: the simhash twin of
+    ``minhash_near_dups_against``.  Both sides band-explode and meet in
+    one equi-join on (band, band_value) — pigeonhole-complete for
+    ``max_hamming`` with ``max_hamming + 1`` bands — with the exact
+    Hamming distance verified map-side from the fingerprints carried
+    through the join.  Correctness of the two halves is oracle-pinned
+    separately: the against-join pattern by ``dedup_minhash_incremental``
+    and the banded Hamming verify by ``dedup_simhash``; their
+    composition is pytest-pinned against a naive cross-join.
+
+    Returns (doc_a = index id, doc_b = batch id, hamming), distinct.
+    """
+    n_bands = max(n_bands, max_hamming + 1)
+    width = BITS // n_bands
+    bsigs = with_simhash(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("doc_id"), F.col("simhash").alias("fp")
+    )
+    ib = _band_explode(index_sigs.select("doc_id", "fp"), n_bands, width).select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"), "b", "bv"
+    )
+    bb = _band_explode(bsigs, n_bands, width).select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), "b", "bv"
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        ib.join(bb, ["b", "bv"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        # hamming is deterministic integer arithmetic — row distinct safe
+        .distinct()
+    )
+
+
 def minhash_near_dups_against(
     index_sigs: DataFrame,
     df: DataFrame,

@@ -31,16 +31,17 @@ and printing a one-line JSON summary:
 - ``keep``        the surviving input rows (anti-join of the input
                   against the drop set) — full columns, ready to
                   re-ingest.
-- ``signatures``  (minhash) the MinHash signature index
-                  ``(doc_id, fp array<long>)`` — persist once, then
-                  sweep each new delta against it with ``--against``.
+- ``signatures``  (minhash/simhash) the signature index — minhash:
+                  ``(doc_id, fp array<long>)``, simhash:
+                  ``(doc_id, fp long)`` — persist once, then sweep
+                  each new delta against it with ``--against``.
 
-``--against SIGS`` (minhash): INCREMENTAL sweep — compare the input
-batch against a previously emitted signature index instead of against
-itself; the corpus is never re-shingled (only 8 longs per indexed doc
-participate).  ``pairs`` emits (doc_a = index id, doc_b = batch id +
-score); ``drops`` emits the batch ids near-duplicating the index;
-``keep`` the batch survivors.
+``--against SIGS`` (minhash/simhash): INCREMENTAL sweep — compare the
+input batch against a previously emitted signature index instead of
+against itself; the corpus is never re-shingled (only the signature
+longs of indexed docs participate).  ``pairs`` emits (doc_a = index
+id, doc_b = batch id + score); ``drops`` emits the batch ids
+near-duplicating the index; ``keep`` the batch survivors.
 
 ``--drop-policy`` (for drops/keep):
 
@@ -181,8 +182,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from ..session import get_spark
 
-    if (args.emit == "signatures" or args.against) and args.method != "minhash":
-        p.error("--emit signatures / --against require --method minhash")
+    if (args.emit == "signatures" or args.against) and args.method not in (
+        "minhash", "simhash"
+    ):
+        p.error("--emit signatures / --against require --method "
+                "minhash or simhash")
     if args.against and args.emit == "signatures":
         p.error("--against and --emit signatures are mutually exclusive")
     if args.against and args.drop_policy == "components":
@@ -193,9 +197,22 @@ def main(argv: list[str] | None = None) -> int:
     df, args.id_col_resolved = load_corpus(spark, args)
 
     if args.emit == "signatures":
-        from ..dedup import minhash_signatures
+        if args.method == "minhash":
+            from ..dedup import minhash_signatures
 
-        out_df = minhash_signatures(df, args.id_col_resolved, args.text_col)
+            out_df = minhash_signatures(
+                df, args.id_col_resolved, args.text_col
+            )
+        else:  # simhash
+            from ..dedup import with_simhash
+
+            out_df = with_simhash(
+                df.select(args.id_col_resolved, args.text_col),
+                args.text_col,
+            ).select(
+                F.col(args.id_col_resolved).alias("doc_id"),
+                F.col("simhash").alias("fp"),
+            )
         out_df.write.mode("overwrite").parquet(args.output)
         rows = spark.read.parquet(args.output).count()
         print(json.dumps({
@@ -205,12 +222,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.against:
-        from ..dedup import minhash_near_dups_against
+        index_sigs = spark.read.parquet(args.against)
+        if args.method == "minhash":
+            from ..dedup import minhash_near_dups_against
 
-        pairs = minhash_near_dups_against(
-            spark.read.parquet(args.against), df, args.id_col_resolved,
-            args.text_col, threshold=args.threshold,
-        ).withColumnRenamed("est_jaccard", "score")
+            pairs = minhash_near_dups_against(
+                index_sigs, df, args.id_col_resolved,
+                args.text_col, threshold=args.threshold,
+            ).withColumnRenamed("est_jaccard", "score")
+        else:  # simhash
+            from ..dedup import simhash_near_dups_against
+
+            pairs = simhash_near_dups_against(
+                index_sigs, df, args.id_col_resolved,
+                args.text_col, max_hamming=args.max_hamming,
+            ).withColumn("score", F.col("hamming").cast("double")).drop(
+                "hamming"
+            )
     else:
         pairs = sweep(df, args)
     if args.emit == "pairs":

@@ -353,3 +353,49 @@ def test_minhash_near_dups_against_index(spark):
                sigs, batch, "doc_id", "text", threshold=0.5).collect()}
     assert set(got) == {(1, 101), (1, 102)}, got
     assert all(v >= 0.5 for v in got.values())
+
+
+def test_simhash_near_dups_against_index(spark):
+    """Incremental simhash: batch-vs-index pairs equal the naive
+    cross-join Hamming filter (pigeonhole completeness across the two
+    relations), and batch-internal pairs are not emitted."""
+    from engine.dedup import simhash_near_dups_against, with_simhash
+
+    idx_docs = corpus.generate_corpus(spark, n_files=40, n_repos=2, partitions=2)
+    idx = idx_docs.withColumn("doc_key", F.concat_ws("/", "repo", "path"))
+    # batch: 3 exact copies of indexed docs + fresh content
+    batch = (
+        idx_docs.limit(3)
+        .withColumn("doc_key", F.concat(F.lit("batch/"), "path"))
+        .unionByName(
+            idx_docs.limit(1)
+            .withColumn("content", F.lit("entirely new body of text"))
+            .withColumn("doc_key", F.lit("batch/fresh"))
+        )
+    )
+    sigs = with_simhash(idx.select("doc_key", "content")).select(
+        F.col("doc_key").alias("doc_id"), F.col("simhash").alias("fp")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups_against(
+            sigs, batch, "doc_key", "content"
+        ).collect()
+    }
+    # naive oracle: cross join of the two fingerprint relations
+    bf = with_simhash(batch.select("doc_key", "content")).select(
+        F.col("doc_key").alias("doc_b"), F.col("simhash").alias("fb")
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in sigs.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fa"))
+        .crossJoin(bf)
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for _, _, h in got if h == 0) >= 3  # the planted copies

@@ -239,3 +239,19 @@ def test_dedup_sweep_cli_incremental(spark, tmp_path, capsys):
                        "--output", out_keep, "--emit", "keep"]) == 0
     kept = {r["doc_id"] for r in spark.read.parquet(out_keep).collect()}
     assert kept == {102}
+
+    # simhash twin: scalar fingerprint index, Hamming-0 for the copy
+    sh_sigs = str(tmp_path / "sh_sigs")
+    assert sweep_main(["--input", corpus_src, "--method", "simhash",
+                       "--output", sh_sigs, "--emit", "signatures"]) == 0
+    sh_df = spark.read.parquet(sh_sigs)
+    assert set(sh_df.columns) == {"doc_id", "fp"}
+
+    out_sh = str(tmp_path / "sh_inc")
+    assert sweep_main(["--input", batch_src, "--method", "simhash",
+                       "--against", sh_sigs,
+                       "--output", out_sh, "--emit", "pairs"]) == 0
+    sh_pairs = {(r["doc_a"], r["doc_b"], r["score"])
+                for r in spark.read.parquet(out_sh).collect()}
+    assert (1, 101, 0.0) in sh_pairs
+    assert not any(b == 102 for _, b, _ in sh_pairs)
