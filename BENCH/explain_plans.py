@@ -204,6 +204,23 @@ def main() -> None:
     # join side.  The plan now shows ONE such subtree feeding a
     # groupBy(band, value) + within-bucket pair explode.
 
+    # 10c. incremental minhash sweep: batch vs persisted signature index
+    sections.append(
+        (
+            "Incremental minhash sweep (batch vs signature index)",
+            "the incremental shape (dedup_sweep --against): both sides' "
+            "signature arrays posexplode to (band, sig) rows and meet in "
+            "ONE equi-join on the short band keys — a plain "
+            "SortMergeJoin/ShuffledHashJoin AQE can skew-split (NOT the "
+            "collect_list shape) — with the Jaccard estimate computed "
+            "map-side from the fp arrays carried through the join; only "
+            "threshold survivors reach the cross-band "
+            "HashAggregate(distinct).  At 100 TB the index side is "
+            "signatures only (8 longs per doc), never corpus text:",
+            cap(QUERIES["dedup_minhash_incremental"](spark, SF_DIR)),
+        )
+    )
+
     # 11. embedding-cosine near-dup: matmul kernel + LSH composition
     sections.append(
         (
