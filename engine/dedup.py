@@ -644,6 +644,66 @@ def minhash_near_dups(
     return chunked_pair_candidates(bands, cap=cap, verify=_verify)
 
 
+@F.pandas_udf(T.DoubleType())
+def pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized cosine for a PAIR relation (va, vb vector columns):
+    one einsum per Arrow batch, no per-pair interpreted expression.
+    Each row's dot/norms are independent reductions over that row's own
+    two vectors, so the value is deterministic per pair — unlike the
+    V@V.T bucket kernel, whose last ulp varies with matrix shape."""
+    A = np.vstack(va.to_numpy()).astype(np.float64)
+    B = np.vstack(vb.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)
+
+
+def cosine_near_dup_lsh_against(
+    index_sigs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 32,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross near-dup pairs between a persisted LSH-bucketed embedding
+    INDEX and a new batch — the cosine member of the incremental sweep
+    family.  ``index_sigs``: ``(doc_id, vec, bks: array<long>)`` with
+    bucket ids precomputed at emit time (``dedup_sweep --method
+    cosine-lsh --emit signatures``); the banding params MUST match
+    (the CLI reads them back from the index rather than trusting its
+    own flags).  The batch's buckets come from the same one-matmul
+    Arrow UDF; both sides posexplode to (table, bucket) and meet in one
+    equi-join, with the EXACT cosine verified map-side by a vectorized
+    einsum over the vector pair carried through the join — only
+    threshold survivors reach the cross-table distinct.
+
+    Returns (doc_a = index id, doc_b = batch id, cos_raw), distinct
+    (row-level distinct is safe: see pair_cosine_udf).
+    """
+    bucketed = df.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb")
+    ).withColumn("bks", lsh_bucket_udf(n_tables, n_planes, dim, seed)(F.col("vb")))
+    ib = index_sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("vec").alias("va"),
+        F.posexplode("bks").alias("table", "bucket"),
+    )
+    bb = bucketed.select(
+        "doc_b", "vb", F.posexplode("bks").alias("table", "bucket")
+    )
+    return (
+        ib.join(bb, ["table", "bucket"])
+        .withColumn("cos_raw", pair_cosine_udf("va", "vb"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("doc_a", "doc_b", "cos_raw")
+        .distinct()
+    )
+
+
 def simhash_near_dups_against(
     index_sigs: DataFrame,
     df: DataFrame,

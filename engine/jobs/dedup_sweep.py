@@ -31,16 +31,20 @@ and printing a one-line JSON summary:
 - ``keep``        the surviving input rows (anti-join of the input
                   against the drop set) — full columns, ready to
                   re-ingest.
-- ``signatures``  (minhash/simhash) the signature index — minhash:
-                  ``(doc_id, fp array<long>)``, simhash:
-                  ``(doc_id, fp long)`` — persist once, then sweep
-                  each new delta against it with ``--against``.
+- ``signatures``  the signature index — exact: ``(doc_id, sha)``,
+                  minhash: ``(doc_id, fp array<long>)``, simhash:
+                  ``(doc_id, fp long)``, cosine-lsh: ``(doc_id, vec,
+                  bks array<long> + the banding params)`` — persist
+                  once, then sweep each new delta against it with
+                  ``--against``.
 
-``--against SIGS`` (minhash/simhash): INCREMENTAL sweep — compare the
-input batch against a previously emitted signature index instead of
-against itself; the corpus is never re-shingled (only the signature
-longs of indexed docs participate).  ``pairs`` emits (doc_a = index
-id, doc_b = batch id + score); ``drops`` emits the batch ids
+``--against SIGS``: INCREMENTAL sweep — compare the input batch
+against a previously emitted signature index (same method) instead of
+against itself; the corpus text is never re-read (only the indexed
+signatures participate; cosine-lsh additionally re-reads the indexed
+vectors it stored for the exact verify, and bands the batch with the
+params stored IN the index).  ``pairs`` emits (doc_a = index id,
+doc_b = batch id + score); ``drops`` emits the batch ids
 near-duplicating the index; ``keep`` the batch survivors.
 
 ``--drop-policy`` (for drops/keep):
@@ -137,6 +141,92 @@ def sweep(df: DataFrame, args) -> DataFrame:
     raise ValueError(args.method)
 
 
+def _signatures(df: DataFrame, args) -> DataFrame:
+    """The persistable signature index for --emit signatures."""
+    id_col = args.id_col_resolved
+    if args.method == "exact":
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.sha2(F.col(args.text_col).cast("binary"), 256).alias("sha"),
+        )
+    if args.method == "minhash":
+        from ..dedup import minhash_signatures
+
+        return minhash_signatures(df, id_col, args.text_col)
+    if args.method == "simhash":
+        from ..dedup import with_simhash
+
+        return with_simhash(
+            df.select(id_col, args.text_col), args.text_col
+        ).select(
+            F.col(id_col).alias("doc_id"), F.col("simhash").alias("fp")
+        )
+    if args.method == "cosine-lsh":
+        from ..dedup import lsh_bucket_udf
+
+        # vectors travel with the buckets (the exact verify needs them)
+        # and the banding params are stored IN the index so a later
+        # --against cannot silently band the batch differently
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(args.vec_col).alias("vec"),
+            )
+            .withColumn(
+                "bks",
+                lsh_bucket_udf(
+                    args.lsh_tables, args.lsh_planes, args.dim, args.seed
+                )(F.col("vec")),
+            )
+            .withColumn("n_tables", F.lit(args.lsh_tables))
+            .withColumn("n_planes", F.lit(args.lsh_planes))
+            .withColumn("dim", F.lit(args.dim))
+            .withColumn("seed", F.lit(args.seed))
+        )
+    raise ValueError(args.method)
+
+
+def _sweep_against(index_sigs: DataFrame, df: DataFrame, args) -> DataFrame:
+    """Incremental sweep: (doc_a = index id, doc_b = batch id, score)."""
+    id_col = args.id_col_resolved
+    if args.method == "exact":
+        sha = F.sha2(F.col(args.text_col).cast("binary"), 256)
+        batch = df.select(F.col(id_col).alias("doc_b"), sha.alias("sha"))
+        return (
+            index_sigs.select(F.col("doc_id").alias("doc_a"), "sha")
+            .join(batch, "sha")
+            .select("doc_a", "doc_b", F.lit(1.0).alias("score"))
+        )
+    if args.method == "minhash":
+        from ..dedup import minhash_near_dups_against
+
+        return minhash_near_dups_against(
+            index_sigs, df, id_col, args.text_col,
+            threshold=args.threshold,
+        ).withColumnRenamed("est_jaccard", "score")
+    if args.method == "simhash":
+        from ..dedup import simhash_near_dups_against
+
+        return simhash_near_dups_against(
+            index_sigs, df, id_col, args.text_col,
+            max_hamming=args.max_hamming,
+        ).withColumn("score", F.col("hamming").cast("double")).drop("hamming")
+    if args.method == "cosine-lsh":
+        from ..dedup import cosine_near_dup_lsh_against
+
+        # band the batch with the params the index was BUILT with
+        stored = index_sigs.select(
+            "n_tables", "n_planes", "dim", "seed"
+        ).first()
+        return cosine_near_dup_lsh_against(
+            index_sigs, df, id_col, args.vec_col,
+            threshold=args.threshold,
+            n_tables=stored["n_tables"], n_planes=stored["n_planes"],
+            dim=stored["dim"], seed=stored["seed"],
+        ).withColumnRenamed("cos_raw", "score")
+    raise ValueError(args.method)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="near-duplicate sweep job")
     add_source_args(p)
@@ -182,11 +272,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from ..session import get_spark
 
-    if (args.emit == "signatures" or args.against) and args.method not in (
-        "minhash", "simhash"
-    ):
-        p.error("--emit signatures / --against require --method "
-                "minhash or simhash")
     if args.against and args.emit == "signatures":
         p.error("--against and --emit signatures are mutually exclusive")
     if args.against and args.drop_policy == "components":
@@ -197,22 +282,7 @@ def main(argv: list[str] | None = None) -> int:
     df, args.id_col_resolved = load_corpus(spark, args)
 
     if args.emit == "signatures":
-        if args.method == "minhash":
-            from ..dedup import minhash_signatures
-
-            out_df = minhash_signatures(
-                df, args.id_col_resolved, args.text_col
-            )
-        else:  # simhash
-            from ..dedup import with_simhash
-
-            out_df = with_simhash(
-                df.select(args.id_col_resolved, args.text_col),
-                args.text_col,
-            ).select(
-                F.col(args.id_col_resolved).alias("doc_id"),
-                F.col("simhash").alias("fp"),
-            )
+        out_df = _signatures(df, args)
         out_df.write.mode("overwrite").parquet(args.output)
         rows = spark.read.parquet(args.output).count()
         print(json.dumps({
@@ -222,23 +292,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.against:
-        index_sigs = spark.read.parquet(args.against)
-        if args.method == "minhash":
-            from ..dedup import minhash_near_dups_against
-
-            pairs = minhash_near_dups_against(
-                index_sigs, df, args.id_col_resolved,
-                args.text_col, threshold=args.threshold,
-            ).withColumnRenamed("est_jaccard", "score")
-        else:  # simhash
-            from ..dedup import simhash_near_dups_against
-
-            pairs = simhash_near_dups_against(
-                index_sigs, df, args.id_col_resolved,
-                args.text_col, max_hamming=args.max_hamming,
-            ).withColumn("score", F.col("hamming").cast("double")).drop(
-                "hamming"
-            )
+        pairs = _sweep_against(
+            spark.read.parquet(args.against), df, args
+        )
     else:
         pairs = sweep(df, args)
     if args.emit == "pairs":

