@@ -8,8 +8,10 @@ package shipped with ``--py-files`` and this module as the driver::
         --table /data/corpus --op compact --target-mb 128 \
         --job-id nightly-compact-2026-08-16
 
-Ops: append (from parquet input), merge (from parquet delta), compact,
-cluster (zorder|hilbert), rewrite-manifests, expire, sweep, verify.
+Ops: append (from parquet input), merge (from parquet delta), delete
+(row-level COW DELETE by --where predicate or --input keys parquet,
+e.g. a dedup_sweep drop set), compact, cluster (zorder|hilbert),
+rewrite-manifests, expire, sweep, verify.
 Every op prints a one-line JSON result; compaction is resumable by
 re-submitting with the same --job-id after a crash.
 """
@@ -28,12 +30,23 @@ def main(argv: list[str] | None = None) -> int:
         "--op",
         required=True,
         choices=[
-            "create", "append", "merge", "compact", "cluster",
+            "create", "append", "merge", "delete", "compact", "cluster",
             "rewrite-manifests", "expire", "sweep", "verify",
         ],
     )
     p.add_argument("--input", help="parquet path (append/merge source)")
     p.add_argument("--delete-missing", action="store_true")
+    p.add_argument("--where", default=None,
+                   help="delete: SQL boolean predicate over the table's "
+                        "columns (rows where it is TRUE are deleted; "
+                        "NULL survives, as in SQL DELETE)")
+    p.add_argument("--key-expr", default=None,
+                   help="delete with --input: SQL expression computing "
+                        "the table-side row identity (default: the "
+                        "dedup_sweep synthesized key)")
+    p.add_argument("--key-col", default="doc_id",
+                   help="delete with --input: identity column in the "
+                        "keys parquet")
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--retain-last", type=int, default=2)
@@ -91,6 +104,25 @@ def main(argv: list[str] | None = None) -> int:
             rows_deleted=r.rows_deleted,
             files_rewritten=r.files_rewritten,
             snapshot_id=r.snapshot_id,
+        )
+    elif args.op == "delete":
+        if bool(args.where) == bool(args.input):
+            p.error("--op delete requires exactly one of --where / "
+                    "--input (a keys parquet, e.g. dedup_sweep --emit "
+                    "drops)")
+        from ..ops.delete import delete_where
+
+        r = delete_where(
+            spark, table, predicate=args.where, num_files=args.num_files,
+            keys=spark.read.parquet(args.input) if args.input else None,
+            key_expr=args.key_expr, key_col=args.key_col,
+        )
+        out.update(
+            rows_deleted=r.rows_deleted,
+            files_rewritten=r.files_rewritten,
+            files_added=r.files_added,
+            snapshot_id=r.snapshot_id,
+            seconds=round(r.duration_s, 2),
         )
     elif args.op == "compact":
         from ..ops.compact import compact

@@ -198,7 +198,7 @@ def merge_into(
         }
         global _last_driver_rows_collected  # test probe: driver-rows bound
         _last_driver_rows_collected = len(op_rows) + len(touched)
-        touched_rel = {_rel_path(table, f) for f in touched}
+        touched_rel = {rel_path(table, f) for f in touched}
 
         # rows to write = (all rows of touched files, minus updated/deleted
         # keys) + updated versions + inserts.  Touched files are re-read in
@@ -287,7 +287,7 @@ def merge_with_retry(
     raise last  # type: ignore[misc]
 
 
-def _rel_path(table: Table, spark_file_uri: str) -> str:
+def rel_path(table: Table, spark_file_uri: str) -> str:
     """input_file_name() returns a file: URI; manifests store root-relative."""
     import os
 
