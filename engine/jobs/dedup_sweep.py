@@ -277,6 +277,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.against and args.drop_policy == "components":
         p.error("--against implies the greedy policy (index docs are "
                 "not droppable; every matching batch doc drops)")
+    if args.against and args.verify_exact:
+        p.error("--verify-exact needs both sides' text; the signature "
+                "index carries none (run the exact re-score on the "
+                "emitted pairs with hydrated text instead)")
 
     spark = get_spark(app_name=f"dedup-{args.method}", master=args.master)
     df, args.id_col_resolved = load_corpus(spark, args)

@@ -303,3 +303,20 @@ def test_dedup_sweep_cli_incremental_exact_and_cosine(spark, tmp_path):
                        "--output", vpr]) == 0
     got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(vpr).collect()}
     assert got == {(0, 100)}
+
+
+def test_dedup_sweep_cli_rejects_bad_combos(tmp_path):
+    """Argument guards fire before a session is created."""
+    import pytest
+
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    with pytest.raises(SystemExit):
+        sweep_main(["--input", "x", "--method", "minhash", "--output", "o",
+                    "--against", "sigs", "--verify-exact"])
+    with pytest.raises(SystemExit):
+        sweep_main(["--input", "x", "--method", "minhash", "--output", "o",
+                    "--against", "sigs", "--drop-policy", "components"])
+    with pytest.raises(SystemExit):
+        sweep_main(["--input", "x", "--method", "minhash", "--output", "o",
+                    "--against", "sigs", "--emit", "signatures"])
