@@ -100,14 +100,18 @@ def delete_where(
         summary_match = {"key_expr": key_expr}
 
     # one job: per-file matched counts, touched files only (untouched
-    # rows never leave the executors)
-    per_file = (
-        _mark(table.scan(spark, with_file_path=True))
-        .filter("_hit")
-        .groupBy("_file")
-        .count()
-        .collect()
-    )
+    # rows never leave the executors).  The predicate path filters on
+    # the RAW expression — in a Filter, NULL already behaves as FALSE
+    # (exactly DELETE's matching side) and the un-wrapped predicate
+    # reaches the parquet reader as PushedFilters, so non-matching
+    # row groups are skipped at the scan; the coalesce wrapper is only
+    # needed on the survivor side's negation.
+    scan = table.scan(spark, with_file_path=True)
+    if predicate is not None:
+        matching = scan.filter(F.expr(predicate).cast("boolean"))
+    else:
+        matching = _mark(scan).filter("_hit")
+    per_file = matching.groupBy("_file").count().collect()
     if not per_file:
         return DeleteResult(0, 0, 0, None, time.monotonic() - t0)
     touched_rel = sorted(rel_path(table, r["_file"]) for r in per_file)

@@ -518,7 +518,13 @@ class Table:
         paths = [os.path.join(self.root, e.path) for e in entries]
         df = spark.read.schema(schema).parquet(*paths)
         if with_file_path:
-            df = df.withColumn("_file", F.input_file_name())
+            # _metadata.file_path, NOT input_file_name(): the latter is
+            # nondeterministic, so Catalyst refuses to push filters past
+            # its projection — a with_file_path scan (merge
+            # classification, delete detection) lost ALL parquet
+            # pushdown.  The metadata column is deterministic and keeps
+            # PushedFilters intact; same file: URI shape either way.
+            df = df.withColumn("_file", F.col("_metadata.file_path"))
         if pred:
             df = df.filter(_pred_to_expr(pred))
         if columns:
