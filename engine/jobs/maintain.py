@@ -10,7 +10,8 @@ package shipped with ``--py-files`` and this module as the driver::
 
 Ops: append (from parquet input), merge (from parquet delta), delete
 (row-level COW DELETE by --where predicate or --input keys parquet,
-e.g. a dedup_sweep drop set), compact, cluster (zorder|hilbert),
+e.g. a dedup_sweep drop set), update (row-level COW UPDATE --set
+COL=EXPR --where), compact, cluster (zorder|hilbert),
 rewrite-manifests, expire, sweep, verify.
 Every op prints a one-line JSON result; compaction is resumable by
 re-submitting with the same --job-id after a crash.
@@ -30,8 +31,8 @@ def main(argv: list[str] | None = None) -> int:
         "--op",
         required=True,
         choices=[
-            "create", "append", "merge", "delete", "compact", "cluster",
-            "rewrite-manifests", "expire", "sweep", "verify",
+            "create", "append", "merge", "delete", "update", "compact",
+            "cluster", "rewrite-manifests", "expire", "sweep", "verify",
         ],
     )
     p.add_argument("--input", help="parquet path (append/merge source)")
@@ -47,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--key-col", default="doc_id",
                    help="delete with --input: identity column in the "
                         "keys parquet")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="COL=EXPR",
+                   help="update: column assignment (repeatable); EXPR "
+                        "is SQL over the pre-update row")
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     p.add_argument("--retain-last", type=int, default=2)
@@ -119,6 +124,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.update(
             rows_deleted=r.rows_deleted,
+            files_rewritten=r.files_rewritten,
+            files_added=r.files_added,
+            snapshot_id=r.snapshot_id,
+            seconds=round(r.duration_s, 2),
+        )
+    elif args.op == "update":
+        if not args.where or not args.set:
+            p.error("--op update requires --where and at least one --set")
+        bad = [s for s in args.set if "=" not in s]
+        if bad:
+            p.error(f"--set expects COL=EXPR, got: {bad}")
+        from ..ops.delete import update_where
+
+        sets = dict(s.split("=", 1) for s in args.set)
+        r = update_where(
+            spark, table, sets, args.where, num_files=args.num_files
+        )
+        out.update(
+            rows_updated=r.rows_deleted,
             files_rewritten=r.files_rewritten,
             files_added=r.files_added,
             snapshot_id=r.snapshot_id,

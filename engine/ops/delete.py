@@ -1,4 +1,5 @@
-"""Row-level DELETE WHERE — copy-on-write at file granularity.
+"""Row-level DELETE WHERE / UPDATE WHERE — copy-on-write at file
+granularity.
 
 The reference deletes at coarser granularities (whole files on re-index,
 whole tables on clear: src/client/indexing/mod.rs removed-file path;
@@ -147,6 +148,82 @@ def delete_where(
     )
     return DeleteResult(
         rows_deleted,
+        len(touched_rel),
+        len(added),
+        snap.snapshot_id,
+        time.monotonic() - t0,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table: Table,
+    set_exprs: dict[str, str],
+    predicate: str,
+    num_files: int | None = None,
+) -> DeleteResult:
+    """Row-level UPDATE ... SET col = expr WHERE predicate — the same
+    COW shape as ``delete_where``: one pushdown-friendly job finds the
+    files containing a matching row, touched files are rewritten with
+    the SET expressions applied to matching rows (others byte-for-byte
+    unchanged), one atomic commit swaps them.  ``set_exprs`` maps
+    column name -> SQL expression (evaluated against the PRE-update
+    row, so swaps like {'a': 'b', 'b': 'a'} behave as SQL UPDATE).
+    NULL predicate rows are not updated, as in SQL.
+
+    Returns a DeleteResult whose rows_deleted field counts the rows
+    UPDATED (files_added / files_rewritten as in delete)."""
+    unknown = set(set_exprs) - {f.name for f in table.schema.fields}
+    assert not unknown, f"SET targets not in schema: {sorted(unknown)}"
+    t0 = time.monotonic()
+    expected_parent = table.current_snapshot_id
+    pred = F.expr(predicate).cast("boolean")
+
+    per_file = (
+        table.scan(spark, with_file_path=True)
+        .filter(pred)
+        .groupBy("_file")
+        .count()
+        .collect()
+    )
+    if not per_file:
+        return DeleteResult(0, 0, 0, None, time.monotonic() - t0)
+    touched_rel = sorted(rel_path(table, r["_file"]) for r in per_file)
+    rows_updated = sum(r["count"] for r in per_file)
+
+    touched_abs = [os.path.join(table.root, p) for p in touched_rel]
+    hit = F.coalesce(pred, F.lit(False))
+    base = spark.read.schema(table.schema).parquet(*touched_abs)
+    # all SET expressions evaluate against the pre-update row: compute
+    # them in ONE select so no assignment sees another's result
+    rewritten = base.select(
+        *[
+            F.when(hit, F.expr(set_exprs[c]).cast(base.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
+    added = table.write_data_files(
+        spark, rewritten, num_files=num_files or len(touched_rel)
+    )
+    snap = table.commit(
+        "update",
+        added,
+        removed_paths=set(touched_rel),
+        summary={
+            "rows_updated": rows_updated,
+            "files_rewritten": len(touched_rel),
+            "files_added": len(added),
+            "predicate": predicate,
+            "set": dict(set_exprs),
+        },
+        expected_parent=expected_parent,
+    )
+    return DeleteResult(
+        rows_updated,
         len(touched_rel),
         len(added),
         snap.snapshot_id,

@@ -113,3 +113,66 @@ def test_delete_by_keys_applies_sweep_drops(spark, tmp_path, capsys):
     # the kept copy of each sha survives, content set intact
     assert got.select("commit").distinct().count() == 60
     assert maintain_main(["--table", root, "--op", "verify"]) == 0
+
+
+def test_update_where_cow(spark, tmp_path):
+    """UPDATE SET ... WHERE: matching rows transformed, others
+    byte-identical; SET expressions see the pre-update row."""
+    from engine.ops.delete import update_where
+
+    table, df = _mk_table(spark, tmp_path, files=4)
+    n_rust = df.filter("lang = 'rust'").count()
+    want = corpus.corpus_digest(
+        df.withColumn(
+            "lang",
+            F.when(F.col("lang") == "rust", F.concat("lang", F.lit("-v2")))
+            .otherwise(F.col("lang")),
+        )
+    )
+    before = {e.path for e in table.files()}
+    r = update_where(
+        spark, table, {"lang": "concat(lang, '-v2')"}, "lang = 'rust'"
+    )
+    assert r.rows_deleted == n_rust  # rows UPDATED
+    table = Table.load(table.root)
+    got = table.scan(spark)
+    assert corpus.corpus_digest(got) == want
+    assert got.count() == df.count()
+    after = {e.path for e in table.files()}
+    assert r.files_rewritten == len(before - after)
+
+    # replay: predicate no longer matches -> no-op
+    r2 = update_where(
+        spark, table, {"lang": "concat(lang, '-v2')"}, "lang = 'rust'"
+    )
+    assert r2.rows_deleted == 0 and r2.snapshot_id is None
+
+
+def test_update_where_swap_semantics(spark, tmp_path):
+    """All SET expressions evaluate against the PRE-update row."""
+    from engine.ops.delete import update_where
+
+    table, df = _mk_table(spark, tmp_path, n=20, files=1)
+    update_where(
+        spark, table, {"repo": "path", "path": "repo"}, "true"
+    )
+    got = Table.load(table.root).scan(spark)
+    want = {(r["path"], r["repo"]) for r in df.select("repo", "path").collect()}
+    assert {(r["repo"], r["path"]) for r in got.select("repo", "path").collect()} == want
+
+
+def test_update_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from engine.jobs.maintain import main as maintain_main
+
+    table, df = _mk_table(spark, tmp_path, n=30, files=2)
+    assert maintain_main([
+        "--table", table.root, "--op", "update",
+        "--where", "lang = 'python'", "--set", "lang=upper(lang)",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_updated"] == df.filter("lang = 'python'").count()
+    got = Table.load(table.root).scan(spark)
+    assert got.filter("lang = 'PYTHON'").count() == out["rows_updated"]
+    assert got.filter("lang = 'python'").count() == 0
