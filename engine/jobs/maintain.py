@@ -12,7 +12,8 @@ Ops: append (from parquet input), merge (from parquet delta), delete
 (row-level COW DELETE by --where predicate or --input keys parquet,
 e.g. a dedup_sweep drop set), update (row-level COW UPDATE --set
 COL=EXPR --where), compact, cluster (zorder|hilbert),
-rewrite-manifests, expire, sweep, verify.
+rewrite-manifests, expire, sweep, verify, rollback
+(restore an earlier snapshot's file set, metadata-only).
 Every op prints a one-line JSON result; compaction is resumable by
 re-submitting with the same --job-id after a crash.
 """
@@ -33,8 +34,11 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "append", "merge", "delete", "update", "compact",
             "cluster", "rewrite-manifests", "expire", "sweep", "verify",
+            "rollback",
         ],
     )
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="rollback: target snapshot to restore")
     p.add_argument("--input", help="parquet path (append/merge source)")
     p.add_argument("--delete-missing", action="store_true")
     p.add_argument("--where", default=None,
@@ -147,6 +151,18 @@ def main(argv: list[str] | None = None) -> int:
             files_added=r.files_added,
             snapshot_id=r.snapshot_id,
             seconds=round(r.duration_s, 2),
+        )
+    elif args.op == "rollback":
+        if args.snapshot_id is None:
+            p.error("--op rollback requires --snapshot-id")
+        from ..ops.rollback import rollback_to
+
+        r = rollback_to(table, args.snapshot_id)
+        out.update(
+            rollback_to=r.target_snapshot_id,
+            files_removed=r.files_removed,
+            files_restored=r.files_restored,
+            snapshot_id=r.snapshot_id,
         )
     elif args.op == "compact":
         from ..ops.compact import compact

@@ -176,3 +176,53 @@ def test_update_cli(spark, tmp_path, capsys):
     got = Table.load(table.root).scan(spark)
     assert got.filter("lang = 'PYTHON'").count() == out["rows_updated"]
     assert got.filter("lang = 'python'").count() == 0
+
+
+def test_rollback_restores_deleted_rows(spark, tmp_path, capsys):
+    """rollback: one metadata-only commit restores the pre-delete file
+    set; the rollback itself is a snapshot (history stays linear) and
+    replaying it is a no-op."""
+    import json as _json
+
+    from engine.jobs.maintain import main as maintain_main
+    from engine.ops.rollback import rollback_to
+
+    table, df = _mk_table(spark, tmp_path)
+    want = corpus.corpus_digest(df)
+    sid_before = table.current_snapshot_id
+    delete_where(spark, table, "lang = 'rust'")
+    table = Table.load(table.root)
+    assert table.total_rows() < df.count()
+
+    assert maintain_main(["--table", table.root, "--op", "rollback",
+                          "--snapshot-id", str(sid_before)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rollback_to"] == sid_before and out["files_restored"] > 0
+    table = Table.load(table.root)
+    got = table.scan(spark)
+    assert got.count() == df.count()
+    assert corpus.corpus_digest(got) == want
+
+    # replay: file sets already equal -> no-op, no new snapshot
+    r2 = rollback_to(table, sid_before)
+    assert r2.snapshot_id is None
+
+
+def test_rollback_refuses_expired_target(spark, tmp_path):
+    """A target whose files were reclaimed fails loudly instead of
+    committing an unscannable snapshot."""
+    import pytest
+
+    from engine.ops.expire import expire_snapshots, sweep_orphan_files
+    from engine.ops.rollback import rollback_to
+    from engine.tablefmt import SnapshotNotFound
+
+    table, df = _mk_table(spark, tmp_path, n=30, files=2)
+    sid_before = table.current_snapshot_id
+    delete_where(spark, table, "true")  # drop everything
+    table = Table.load(table.root)
+    expire_snapshots(table, retain_last=1, min_age_s=0, spark=spark)
+    sweep_orphan_files(table, min_age_s=0, spark=spark)
+    table = Table.load(table.root)
+    with pytest.raises(SnapshotNotFound):
+        rollback_to(table, sid_before)
