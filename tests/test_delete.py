@@ -226,3 +226,34 @@ def test_rollback_refuses_expired_target(spark, tmp_path):
     table = Table.load(table.root)
     with pytest.raises(SnapshotNotFound):
         rollback_to(table, sid_before)
+
+
+def test_delete_conflicts_with_concurrent_commit(spark, tmp_path):
+    """A commit landing between delete's detection and its own commit
+    must raise CommitConflict (optimistic concurrency), not silently
+    base itself on a stale snapshot."""
+    import pytest
+
+    from engine.ops import delete as delete_mod
+    from engine.tablefmt import CommitConflict
+
+    table, df = _mk_table(spark, tmp_path, n=40, files=2)
+
+    real_scan = table.scan
+    state = {"raced": False}
+
+    def racing_scan(*a, **kw):
+        out = real_scan(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            tbl_append(
+                spark, Table.load(table.root),
+                corpus.generate_corpus(spark, n_files=5, n_repos=1,
+                                       partitions=1),
+                num_files=1,
+            )
+        return out
+
+    table.scan = racing_scan
+    with pytest.raises(CommitConflict):
+        delete_mod.delete_where(spark, table, "lang = 'rust'")
