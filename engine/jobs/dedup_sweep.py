@@ -82,13 +82,21 @@ from pyspark.sql import functions as F
 from .source import add_source_args, load_corpus, resolve_text_col
 
 
+def _content_sha(text_col: str):
+    """The content digest shared by the self-sweep, the signature
+    index, and the against-sweep — the sha equi-join only ever matches
+    if all three hash identically, so the expression is structural."""
+    return F.sha2(F.col(text_col).cast("binary"), 256)
+
+
 def sweep(df: DataFrame, args) -> DataFrame:
     """The pair relation for the chosen method, normalized to
     (doc_a, doc_b, score) with doc_a < doc_b."""
     id_col = args.id_col_resolved
     if args.method == "exact":
-        sha = F.sha2(F.col(args.text_col).cast("binary"), 256)
-        hashed = df.select(F.col(id_col).alias("id"), sha.alias("sha"))
+        hashed = df.select(
+            F.col(id_col).alias("id"), _content_sha(args.text_col).alias("sha")
+        )
         canon = (
             hashed.groupBy("sha")
             .agg(F.min("id").alias("doc_a"), F.count("*").alias("n"))
@@ -147,7 +155,7 @@ def _signatures(df: DataFrame, args) -> DataFrame:
     if args.method == "exact":
         return df.select(
             F.col(id_col).alias("doc_id"),
-            F.sha2(F.col(args.text_col).cast("binary"), 256).alias("sha"),
+            _content_sha(args.text_col).alias("sha"),
         )
     if args.method == "minhash":
         from ..dedup import minhash_signatures
@@ -190,8 +198,9 @@ def _sweep_against(index_sigs: DataFrame, df: DataFrame, args) -> DataFrame:
     """Incremental sweep: (doc_a = index id, doc_b = batch id, score)."""
     id_col = args.id_col_resolved
     if args.method == "exact":
-        sha = F.sha2(F.col(args.text_col).cast("binary"), 256)
-        batch = df.select(F.col(id_col).alias("doc_b"), sha.alias("sha"))
+        batch = df.select(
+            F.col(id_col).alias("doc_b"), _content_sha(args.text_col).alias("sha")
+        )
         return (
             index_sigs.select(F.col("doc_id").alias("doc_a"), "sha")
             .join(batch, "sha")
@@ -215,9 +224,12 @@ def _sweep_against(index_sigs: DataFrame, df: DataFrame, args) -> DataFrame:
         from ..dedup import cosine_near_dup_lsh_against
 
         # band the batch with the params the index was BUILT with
+        # (empty index -> no row to read; any banding yields no pairs,
+        # so fall back to the CLI flags instead of crashing)
         stored = index_sigs.select(
             "n_tables", "n_planes", "dim", "seed"
-        ).first()
+        ).first() or {"n_tables": args.lsh_tables, "n_planes": args.lsh_planes,
+                      "dim": args.dim, "seed": args.seed}
         return cosine_near_dup_lsh_against(
             index_sigs, df, id_col, args.vec_col,
             threshold=args.threshold,
@@ -239,9 +251,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["pairs", "drops", "keep", "signatures"],
                    default="pairs")
     p.add_argument("--against", default=None,
-                   help="minhash only: parquet path of a signature "
-                        "index (--emit signatures); sweep the input "
-                        "batch AGAINST it instead of against itself")
+                   help="parquet path of a SAME-METHOD signature index "
+                        "(--emit signatures); sweep the input batch "
+                        "AGAINST it instead of against itself")
     p.add_argument("--drop-policy", choices=["greedy", "components"],
                    default="greedy")
     p.add_argument("--vec-col", default="embedding")
@@ -296,9 +308,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.against:
+        # an id present in BOTH index and batch (overlapping delta,
+        # table swept against its own older index) matches its own
+        # signature — drop the degenerate self-pair
         pairs = _sweep_against(
             spark.read.parquet(args.against), df, args
-        )
+        ).filter(F.col("doc_a") != F.col("doc_b"))
     else:
         pairs = sweep(df, args)
     if args.emit == "pairs":

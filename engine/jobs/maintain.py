@@ -39,7 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="rollback: target snapshot to restore")
-    p.add_argument("--input", help="parquet path (append/merge source)")
+    p.add_argument("--input", help="parquet path (append/merge source; "
+                   "delete: the drop-set keys parquet)")
     p.add_argument("--delete-missing", action="store_true")
     p.add_argument("--where", default=None,
                    help="delete: SQL boolean predicate over the table's "

@@ -43,7 +43,7 @@ class DeleteResult:
     rows_deleted: int
     files_rewritten: int
     files_added: int
-    snapshot_id: str | None
+    snapshot_id: int | None
     duration_s: float
 
 

@@ -320,3 +320,41 @@ def test_dedup_sweep_cli_rejects_bad_combos(tmp_path):
     with pytest.raises(SystemExit):
         sweep_main(["--input", "x", "--method", "minhash", "--output", "o",
                     "--against", "sigs", "--emit", "signatures"])
+
+
+def test_dedup_sweep_against_overlap_and_empty_index(spark, tmp_path):
+    """An id present in both index and batch must not self-pair, and an
+    EMPTY cosine index yields no pairs instead of crashing on the
+    missing stored banding params."""
+    import numpy as np
+
+    from engine.jobs.dedup_sweep import main as sweep_main
+
+    ta = "overlapping document body repeated " * 6
+    src = str(tmp_path / "c")
+    spark.createDataFrame([(1, ta), (2, "other " * 30)],
+                          ["doc_id", "text"]).write.parquet(src)
+    sigs = str(tmp_path / "sigs")
+    assert sweep_main(["--input", src, "--method", "exact",
+                       "--output", sigs, "--emit", "signatures"]) == 0
+    # batch = the index itself: every doc matches its own signature
+    out = str(tmp_path / "self_pairs")
+    assert sweep_main(["--input", src, "--method", "exact",
+                       "--against", sigs, "--output", out]) == 0
+    assert spark.read.parquet(out).count() == 0  # no degenerate (x, x)
+
+    # empty cosine index: params row absent -> CLI falls back to flags
+    empty_src = str(tmp_path / "ve")
+    spark.createDataFrame([], "doc_id long, embedding array<float>").write.parquet(empty_src)
+    esigs = str(tmp_path / "esigs")
+    assert sweep_main(["--input", empty_src, "--method", "cosine-lsh",
+                       "--output", esigs, "--emit", "signatures"]) == 0
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(64); v /= np.linalg.norm(v)
+    vb = str(tmp_path / "vb")
+    spark.createDataFrame([(5, [float(x) for x in v])],
+                          "doc_id long, embedding array<float>").write.parquet(vb)
+    ep = str(tmp_path / "epairs")
+    assert sweep_main(["--input", vb, "--method", "cosine-lsh",
+                       "--against", esigs, "--output", ep]) == 0
+    assert spark.read.parquet(ep).count() == 0
