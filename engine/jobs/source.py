@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..tablefmt import ROW_IDENTITY_SQL
+
 
 def add_source_args(p) -> None:
     """Register the shared source/column arguments on ``p``."""
@@ -48,8 +50,6 @@ def load_corpus(spark, args) -> tuple[DataFrame, str]:
         df = Table.load(args.table).scan(spark)
         id_col = args.id_col
         if id_col not in df.columns:
-            df = df.withColumn(
-                id_col, F.concat_ws("\x1f", "repo", "path", "commit")
-            )
+            df = df.withColumn(id_col, F.expr(ROW_IDENTITY_SQL))
         return df, id_col
     return spark.read.parquet(args.input), args.id_col

@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401 (typing)
 from pyspark.sql import functions as F
 
-from ..tablefmt import Table
+from ..tablefmt import ROW_IDENTITY_SQL, Table
 from .merge import rel_path
 
 
@@ -85,7 +85,7 @@ def delete_where(
 
         summary_match = {"predicate": predicate}
     else:
-        key_expr = key_expr or "concat_ws('\x1f', repo, path, commit)"
+        key_expr = key_expr or ROW_IDENTITY_SQL
         keyset = keys.select(
             F.col(key_col).alias("_k")
         ).distinct().withColumn("_hitflag", F.lit(True))

@@ -172,3 +172,124 @@ def stateful_first_seen(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _signature_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("fp", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+
+def ingest_stream_dedup(
+    stream_df: DataFrame,
+    table: Table,
+    sigs_table: Table,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """MERGE-INTO sink with INLINE NEAR-DUP DEDUP at ingest time.
+
+    Each micro-batch:
+
+    1. within-batch MinHash near-dup sweep (greedy keep-smallest
+       identity) — a delta often carries its own duplicates;
+    2. sweep the remainder AGAINST the persistent signature index
+       table (``minhash_near_dups_against`` — only the indexed
+       signatures participate, the corpus text is never re-read);
+    3. MERGE the survivors into the corpus table;
+    4. append the survivors' signatures (anti-joined on doc_id, so a
+       replayed batch adds nothing) to the signature table.
+
+    Crash ordering is corpus-first: a crash between 3 and 4 leaves
+    rows whose signatures are missing from the index until the batch
+    replays (replay re-MERGEs to a no-op and completes the signature
+    append).  The reverse order would be data loss: signatures landing
+    before the corpus rows would make the replayed batch near-dup
+    ITSELF out of existence.  Within step 2, identity self-pairs are
+    excluded so an already-absorbed batch is judged only against OTHER
+    documents.
+
+    ``sigs_table``: an engine table created with ``_signature_schema()``
+    (``create_signature_table``).  The signature index participates in
+    the normal table lifecycle — compaction bounds its file count,
+    expire/sweep reclaims superseded snapshots.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import minhash_near_dups, minhash_near_dups_against
+    from .dedup import minhash_signatures
+    from .tablefmt import ROW_IDENTITY_SQL, append as tbl_append
+
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        table.root, "_stream_dedup_checkpoint"
+    )
+    results: list[dict] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("_doc_id", F.expr(ROW_IDENTITY_SQL))
+        n_in = batch.count()
+
+        # 1. within-batch sweep (greedy: drop every larger-identity side)
+        self_pairs = minhash_near_dups(
+            batch, "_doc_id", "content", threshold=threshold
+        )
+        self_drops = self_pairs.select(
+            F.col("doc_b").alias("_doc_id")
+        ).distinct()
+        remaining = batch.join(self_drops, "_doc_id", "left_anti")
+
+        # 2. against the signature index (identity self-pairs excluded)
+        index_sigs = sigs_table.scan(spark)
+        x_pairs = minhash_near_dups_against(
+            index_sigs, remaining, "_doc_id", "content", threshold=threshold
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        x_drops = x_pairs.select(F.col("doc_b").alias("_doc_id")).distinct()
+        survivors = remaining.join(x_drops, "_doc_id", "left_anti").persist()
+
+        # 3. corpus merge (idempotent on replay)
+        r = merge_into(spark, table, survivors.drop("_doc_id"))
+
+        # 4. signature append, replay-safe via anti-join on doc_id
+        new_sigs = minhash_signatures(
+            survivors, "_doc_id", "content"
+        ).join(
+            index_sigs.select(F.col("doc_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        n_new_sigs = new_sigs.count()
+        if n_new_sigs:
+            tbl_append(spark, sigs_table, new_sigs)
+        survivors.unpersist()
+        results.append(
+            {
+                "batch_id": batch_id,
+                "rows_in": n_in,
+                "rows_ingested": r.rows_inserted + r.rows_updated,
+                "sigs_added": n_new_sigs,
+            }
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q._dedup_results = results  # introspection for tests/metrics
+    q._dedup_sink = sink  # replay simulation in tests
+    return q
+
+
+def create_signature_table(root: str) -> Table:
+    """Create the signature-index side table for ingest_stream_dedup."""
+    return Table.create(root, schema=_signature_schema())

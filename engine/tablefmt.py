@@ -56,6 +56,13 @@ CORPUS_SCHEMA = T.StructType(
     ]
 )
 
+# The canonical synthesized row identity of a corpus row (SQL form) —
+# single-sourced: the dedup_sweep/prepare_corpus CLIs, delete-by-keys,
+# and the streaming dedup sink must all derive the SAME identity for
+# their key relations to compose.  \x1f-joined so no path component can
+# collide with the separator.
+ROW_IDENTITY_SQL = "concat_ws('\x1f', repo, path, commit)"
+
 
 class CommitConflict(Exception):
     """Another writer committed this version first (lost the race)."""

@@ -190,3 +190,71 @@ def test_stateful_first_seen_matches_batch_twin(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_ingest_stream_dedup(spark, tmp_path):
+    """Dedup-at-ingest: within-batch near-dups dropped greedily,
+    cross-batch near-dups dropped against the signature index, fresh
+    docs survive, and a replayed batch changes nothing (corpus merge
+    no-op + signature anti-join)."""
+    import time as _time
+
+    from engine.streaming import create_signature_table, ingest_stream_dedup
+    from engine.tablefmt import CORPUS_SCHEMA, Table
+
+    root = str(tmp_path / "t"); sroot = str(tmp_path / "sigs")
+    drop = str(tmp_path / "drop"); os.makedirs(drop)
+    Table.create(root)
+    create_signature_table(sroot)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    near = base.replace("zeta", "MUTANT", 1)
+    fresh = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+
+    def row(repo, path, text):
+        return (repo, path, "c0", "rust", text)
+
+    b1 = spark.createDataFrame(
+        [row("r1", "a.rs", base), row("r1", "b.rs", fresh)], CORPUS_SCHEMA
+    )
+    b1.coalesce(1).write.parquet(os.path.join(drop, "f1"))
+    q = ingest_stream_dedup(
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*")),
+        Table.load(root), Table.load(sroot),
+    )
+    q.awaitTermination(120)
+    assert Table.load(root).total_rows() == 2
+    assert Table.load(sroot).total_rows() == 2
+
+    # batch 2: near-dup of an INDEXED doc + a within-batch duplicate
+    # pair + one fresh doc
+    fresh2 = " ".join(f"q{i} r{i} s{i}" for i in range(40))
+    b2 = spark.createDataFrame(
+        [row("r2", "near.rs", near),        # near-dup of indexed a.rs
+         row("r2", "d1.rs", fresh2),        # within-batch twin (kept)
+         row("r2", "d2.rs", fresh2),        # within-batch twin (dropped)
+         row("r2", "new.rs", " ".join(f"z{i} u{i} v{i}" for i in range(40)))],
+        CORPUS_SCHEMA,
+    )
+    b2.coalesce(1).write.parquet(os.path.join(drop, "f2"))
+    q2 = ingest_stream_dedup(
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drop, "*")),
+        Table.load(root), Table.load(sroot),
+        checkpoint_dir=os.path.join(root, "_stream_dedup_checkpoint"),
+    )
+    q2.awaitTermination(180)
+    got = Table.load(root).scan(spark)
+    paths = {r["path"] for r in got.select("path").collect()}
+    assert paths == {"a.rs", "b.rs", "d1.rs", "new.rs"}, paths
+    assert Table.load(sroot).total_rows() == 4
+
+    # replay the batch through the sink directly: everything no-ops
+    q2._dedup_sink(b2, 99)
+    assert Table.load(root).total_rows() == 4
+    assert Table.load(sroot).total_rows() == 4
+    last = q2._dedup_results[-1]
+    assert last["rows_ingested"] == 0 and last["sigs_added"] == 0
