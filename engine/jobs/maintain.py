@@ -13,7 +13,9 @@ Ops: append (from parquet input), merge (from parquet delta), delete
 e.g. a dedup_sweep drop set), update (row-level COW UPDATE --set
 COL=EXPR --where), compact, cluster (zorder|hilbert),
 rewrite-manifests, expire, sweep, verify, rollback
-(restore an earlier snapshot's file set, metadata-only).
+(restore an earlier snapshot's file set, metadata-only),
+reconcile-sigs (drop signature-index rows orphaned by corpus
+deletes/rollbacks; --sigs-table names the index).
 Every op prints a one-line JSON result; compaction is resumable by
 re-submitting with the same --job-id after a crash.
 """
@@ -34,9 +36,11 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "append", "merge", "delete", "update", "compact",
             "cluster", "rewrite-manifests", "expire", "sweep", "verify",
-            "rollback",
+            "rollback", "reconcile-sigs",
         ],
     )
+    p.add_argument("--sigs-table", default=None,
+                   help="signature-index table root (reconcile-sigs)")
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="rollback: target snapshot to restore")
     p.add_argument("--input", help="parquet path (append/merge source; "
@@ -226,6 +230,16 @@ def main(argv: list[str] | None = None) -> int:
             table, min_age_s=args.min_age_hours * 3600, spark=spark
         )
         out.update(orphans_deleted=n, bytes_reclaimed=b)
+    elif args.op == "reconcile-sigs":
+        from ..streaming import reconcile_signature_index
+
+        assert args.sigs_table, "--sigs-table required for reconcile-sigs"
+        d = reconcile_signature_index(
+            spark, table, Table.load(args.sigs_table)
+        )
+        out.update(sigs_removed=d.rows_deleted,
+                   files_rewritten=d.files_rewritten,
+                   snapshot_id=d.snapshot_id)
     elif args.op == "verify":
         from pyspark.sql import functions as F
 

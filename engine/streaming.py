@@ -185,6 +185,38 @@ def _signature_schema():
     )
 
 
+def reconcile_signature_index(spark, table: Table, sigs_table: Table):
+    """Drop signature rows whose document no longer exists in the corpus.
+
+    The ingest sink keeps the index mirroring the corpus for UPDATES,
+    but other writers diverge it: row-level DELETE, rollback, and a
+    MERGE with ``delete_missing`` all remove corpus rows without
+    touching the index — the orphaned signatures would then silently
+    veto re-ingestion of similar content forever.  This is the
+    maintenance op that restores the mirror: one anti-join of index
+    identities against corpus identities, then a keyed COW delete.
+    Shape at scale: both sides are narrow single-column projections
+    (the corpus side reads three key columns, never content), the join
+    is a shuffle on doc_id AQE can plan, and the delete rewrites only
+    files containing orphans.  Idempotent; safe to run on a schedule
+    alongside compact/expire.
+    """
+    from pyspark.sql import functions as F
+
+    from .ops.delete import delete_where
+    from .tablefmt import ROW_IDENTITY_SQL
+
+    corpus_ids = table.scan(spark).select(
+        F.expr(ROW_IDENTITY_SQL).alias("doc_id")
+    )
+    orphans = (
+        sigs_table.scan(spark)
+        .select("doc_id")
+        .join(corpus_ids, "doc_id", "left_anti")
+    )
+    return delete_where(spark, sigs_table, keys=orphans, key_expr="doc_id")
+
+
 def ingest_stream_dedup(
     stream_df: DataFrame,
     table: Table,
@@ -197,85 +229,155 @@ def ingest_stream_dedup(
 
     Each micro-batch:
 
-    1. within-batch MinHash near-dup sweep (greedy keep-smallest
-       identity) — a delta often carries its own duplicates;
+    0. last-writer-wins dedup to ONE row per (repo, path), mirroring
+       ``merge_into``'s ordering (version/ts column when present, else
+       max(commit)) — the sweep must judge only the version the merge
+       would keep, or a within-batch near-dup pair of the SAME file
+       could greedily drop the newer version;
+    1. within-batch MinHash near-dup sweep across DIFFERENT files
+       (greedy keep-smallest identity) — a delta often carries its own
+       duplicates;
     2. sweep the remainder AGAINST the persistent signature index
        table (``minhash_near_dups_against`` — only the indexed
-       signatures participate, the corpus text is never re-read);
+       signatures participate, the corpus text is never re-read).
+       Pairs whose two sides share (repo, path) are EXCLUDED: a new
+       version of an already-indexed file is an UPDATE, not a dup of
+       its own previous version — without this the corpus could never
+       take an edit through this sink;
     3. MERGE the survivors into the corpus table;
-    4. append the survivors' signatures (anti-joined on doc_id, so a
-       replayed batch adds nothing) to the signature table.
+    4. reconcile the signature index so it MIRRORS the corpus (one
+       signature per (repo, path), the current version): delete index
+       rows superseded by an updated survivor, then append survivors'
+       signatures anti-joined on doc_id (a replayed batch adds
+       nothing).
 
     Crash ordering is corpus-first: a crash between 3 and 4 leaves
     rows whose signatures are missing from the index until the batch
     replays (replay re-MERGEs to a no-op and completes the signature
-    append).  The reverse order would be data loss: signatures landing
-    before the corpus rows would make the replayed batch near-dup
-    ITSELF out of existence.  Within step 2, identity self-pairs are
-    excluded so an already-absorbed batch is judged only against OTHER
-    documents.
+    reconcile).  The reverse order would be data loss: signatures
+    landing before the corpus rows would make the replayed batch
+    near-dup ITSELF out of existence.  Within 4, delete-before-append:
+    an unreplayed crash then leaves a missing signature (the file is
+    merely re-ingestible) rather than a ghost one (stale content
+    silently vetoing future genuine documents).
 
     ``sigs_table``: an engine table created with ``_signature_schema()``
     (``create_signature_table``).  The signature index participates in
     the normal table lifecycle — compaction bounds its file count,
     expire/sweep reclaims superseded snapshots.
     """
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from .dedup import minhash_near_dups, minhash_near_dups_against
     from .dedup import minhash_signatures
+    from .ops.delete import delete_where
     from .tablefmt import ROW_IDENTITY_SQL, append as tbl_append
 
     checkpoint_dir = checkpoint_dir or os.path.join(
         table.root, "_stream_dedup_checkpoint"
     )
     results: list[dict] = []
+    SEP = "\x1f"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.withColumn("_doc_id", F.expr(ROW_IDENTITY_SQL))
-        n_in = batch.count()
+        n_in = batch_df.count()
 
-        # 1. within-batch sweep (greedy: drop every larger-identity side)
-        self_pairs = minhash_near_dups(
-            batch, "_doc_id", "content", threshold=threshold
+        # 0. one row per (repo, path): same winner merge_into would pick
+        order_col = next(
+            (c for c in ("version", "ts", "ingest_ts")
+             if c in batch_df.columns),
+            None,
         )
-        self_drops = self_pairs.select(
-            F.col("doc_b").alias("_doc_id")
-        ).distinct()
-        remaining = batch.join(self_drops, "_doc_id", "left_anti")
-
-        # 2. against the signature index (identity self-pairs excluded)
-        index_sigs = sigs_table.scan(spark)
-        x_pairs = minhash_near_dups_against(
-            index_sigs, remaining, "_doc_id", "content", threshold=threshold
-        ).filter(F.col("doc_a") != F.col("doc_b"))
-        x_drops = x_pairs.select(F.col("doc_b").alias("_doc_id")).distinct()
-        survivors = remaining.join(x_drops, "_doc_id", "left_anti").persist()
-
-        # 3. corpus merge (idempotent on replay)
-        r = merge_into(spark, table, survivors.drop("_doc_id"))
-
-        # 4. signature append, replay-safe via anti-join on doc_id
-        new_sigs = minhash_signatures(
-            survivors, "_doc_id", "content"
-        ).join(
-            index_sigs.select(F.col("doc_id").alias("doc_id")),
-            "doc_id",
-            "left_anti",
+        order = ([F.col(order_col).desc()] if order_col else []) + [
+            F.desc("commit")
+        ]
+        w = W.partitionBy("repo", "path").orderBy(*order)
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_doc_id", F.expr(ROW_IDENTITY_SQL))
+            .persist()
         )
-        n_new_sigs = new_sigs.count()
-        if n_new_sigs:
-            tbl_append(spark, sigs_table, new_sigs)
-        survivors.unpersist()
-        results.append(
-            {
-                "batch_id": batch_id,
-                "rows_in": n_in,
-                "rows_ingested": r.rows_inserted + r.rows_updated,
-                "sigs_added": n_new_sigs,
-            }
-        )
+        survivors = new_sigs = None
+        try:
+            # 1. within-batch sweep (greedy: drop larger-identity sides)
+            self_pairs = minhash_near_dups(
+                batch, "_doc_id", "content", threshold=threshold
+            )
+            self_drops = self_pairs.select(
+                F.col("doc_b").alias("_doc_id")
+            ).distinct()
+            remaining = batch.join(self_drops, "_doc_id", "left_anti")
+
+            # 2. against the signature index ((repo, path) self-pairs
+            #    excluded: an indexed file's own newer version is an
+            #    update, not a duplicate)
+            index_sigs = sigs_table.scan(spark)
+            x_pairs = minhash_near_dups_against(
+                index_sigs, remaining, "_doc_id", "content",
+                threshold=threshold,
+            ).filter(
+                F.substring_index("doc_a", SEP, 2)
+                != F.substring_index("doc_b", SEP, 2)
+            )
+            x_drops = x_pairs.select(
+                F.col("doc_b").alias("_doc_id")
+            ).distinct()
+            survivors = remaining.join(
+                x_drops, "_doc_id", "left_anti"
+            ).persist()
+
+            # 3. corpus merge (idempotent on replay)
+            r = merge_into(spark, table, survivors.drop("_doc_id"))
+
+            # 4a. prune signatures superseded by an update: same
+            #     (repo, path) as a survivor, different version
+            surv_ids = survivors.select(
+                F.col("_doc_id").alias("doc_id"),
+                F.substring_index("_doc_id", SEP, 2).alias("_key"),
+            )
+            stale = (
+                index_sigs.withColumn(
+                    "_key", F.substring_index("doc_id", SEP, 2)
+                )
+                .join(surv_ids.select("_key").distinct(), "_key", "semi")
+                .join(surv_ids.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id")
+            )
+            d = delete_where(
+                spark, sigs_table, keys=stale, key_expr="doc_id"
+            )
+            # 4b. append, replay-safe via anti-join on doc_id (scan
+            #     re-read: the delete above may have rewritten files)
+            new_sigs = (
+                minhash_signatures(survivors, "_doc_id", "content")
+                .join(
+                    sigs_table.scan(spark).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+                .persist()
+            )
+            n_new_sigs = new_sigs.count()
+            if n_new_sigs:
+                tbl_append(spark, sigs_table, new_sigs)
+            results.append(
+                {
+                    "batch_id": batch_id,
+                    "rows_in": n_in,
+                    "rows_ingested": r.rows_inserted + r.rows_updated,
+                    "sigs_added": n_new_sigs,
+                    "sigs_removed": d.rows_deleted,
+                }
+            )
+        finally:
+            batch.unpersist()
+            for df in (survivors, new_sigs):
+                if df is not None:
+                    df.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

@@ -258,3 +258,93 @@ def test_ingest_stream_dedup(spark, tmp_path):
     assert Table.load(sroot).total_rows() == 4
     last = q2._dedup_results[-1]
     assert last["rows_ingested"] == 0 and last["sigs_added"] == 0
+    assert last["sigs_removed"] == 0
+
+    # batch 3: a new VERSION of indexed a.rs (near-identical content,
+    # different commit).  This is an UPDATE, not a near-dup of its own
+    # previous version — it must pass the against-index sweep, merge as
+    # an update, and REPLACE a.rs's signature (index mirrors corpus:
+    # one signature per (repo, path)).  It also carries two versions of
+    # ONE new file in the same batch: last-writer-wins must keep the
+    # max-commit version even though greedy near-dup sweep would have
+    # kept the lexicographically smaller identity.
+    edited = base.replace("kappa", "REVISED", 1)
+    two_txt = " ".join(f"m{i} n{i} o{i}" for i in range(40))
+    b3 = spark.createDataFrame(
+        [("r1", "a.rs", "c1", "rust", edited),
+         ("r3", "two.rs", "c0", "rust", two_txt + " old"),
+         ("r3", "two.rs", "c9", "rust", two_txt + " new")],
+        CORPUS_SCHEMA,
+    )
+    q2._dedup_sink(b3, 100)
+    got3 = {
+        (r["path"], r["commit"]): r["content"]
+        for r in Table.load(root).scan(spark).collect()
+    }
+    assert got3[("a.rs", "c1")] == edited          # update went through
+    assert ("two.rs", "c9") in got3                 # newer version won
+    assert ("two.rs", "c0") not in got3
+    sig_ids = {
+        r["doc_id"] for r in Table.load(sroot).scan(spark).collect()
+    }
+    assert "r1\x1fa.rs\x1fc1" in sig_ids            # new sig appended
+    assert "r1\x1fa.rs\x1fc0" not in sig_ids        # stale sig pruned
+    assert Table.load(sroot).total_rows() == 5      # one per (repo,path)
+    last = q2._dedup_results[-1]
+    assert last["sigs_removed"] == 1 and last["sigs_added"] == 2
+
+
+def test_reconcile_signature_index_after_corpus_delete(spark, tmp_path, capsys):
+    """Row-level DELETE on the corpus orphans its signature; without the
+    reconcile op the ghost signature vetoes re-ingestion of similar
+    content forever.  reconcile-sigs (CLI) restores the mirror."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from engine.dedup import minhash_signatures
+    from engine.jobs.maintain import main as maintain_main
+    from engine.ops.delete import delete_where
+    from engine.streaming import create_signature_table
+    from engine.tablefmt import (
+        CORPUS_SCHEMA, ROW_IDENTITY_SQL, Table, append as tbl_append,
+    )
+
+    root = str(tmp_path / "t"); sroot = str(tmp_path / "sigs")
+    t = Table.create(root)
+    s = create_signature_table(sroot)
+
+    docs = spark.createDataFrame(
+        [("r1", "a.rs", "c0", "rust", "alpha beta gamma " * 20),
+         ("r1", "b.rs", "c0", "rust", "delta epsilon zeta " * 20)],
+        CORPUS_SCHEMA,
+    )
+    tbl_append(spark, t, docs)
+    tbl_append(
+        spark, s,
+        minhash_signatures(
+            docs.withColumn("_id", F.expr(ROW_IDENTITY_SQL)), "_id", "content"
+        ),
+    )
+    assert s.total_rows() == 2
+
+    delete_where(spark, t, predicate="path = 'a.rs'")
+    assert Table.load(root).total_rows() == 1
+
+    rc = maintain_main([
+        "--table", root, "--op", "reconcile-sigs", "--sigs-table", sroot,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sigs_removed"] == 1
+    left = {r["doc_id"] for r in Table.load(sroot).scan(spark).collect()}
+    assert left == {"r1\x1fb.rs\x1fc0"}
+
+    # idempotent: a second run is a no-op
+    rc = maintain_main([
+        "--table", root, "--op", "reconcile-sigs", "--sigs-table", sroot,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sigs_removed"] == 0
+    assert Table.load(sroot).total_rows() == 1
