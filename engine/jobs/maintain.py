@@ -15,7 +15,10 @@ COL=EXPR --where), compact, cluster (zorder|hilbert),
 rewrite-manifests, expire, sweep, verify, rollback
 (restore an earlier snapshot's file set, metadata-only),
 reconcile-sigs (drop signature-index rows orphaned by corpus
-deletes/rollbacks; --sigs-table names the index).
+deletes/rollbacks; --sigs-table names the index), changes (CDC
+changelog between two snapshots — --from-snapshot/--to-snapshot,
+optional --output parquet; feeds dedup_sweep --against and other
+incremental consumers).
 Every op prints a one-line JSON result; compaction is resumable by
 re-submitting with the same --job-id after a crash.
 """
@@ -36,11 +39,17 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "append", "merge", "delete", "update", "compact",
             "cluster", "rewrite-manifests", "expire", "sweep", "verify",
-            "rollback", "reconcile-sigs",
+            "rollback", "reconcile-sigs", "changes",
         ],
     )
     p.add_argument("--sigs-table", default=None,
                    help="signature-index table root (reconcile-sigs)")
+    p.add_argument("--from-snapshot", type=int, default=None,
+                   help="changes: range start (exclusive snapshot)")
+    p.add_argument("--to-snapshot", type=int, default=None,
+                   help="changes: range end (default: current)")
+    p.add_argument("--output", default=None,
+                   help="changes: parquet path for the changelog rows")
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="rollback: target snapshot to restore")
     p.add_argument("--input", help="parquet path (append/merge source; "
@@ -230,6 +239,44 @@ def main(argv: list[str] | None = None) -> int:
             table, min_age_s=args.min_age_hours * 3600, spark=spark
         )
         out.update(orphans_deleted=n, bytes_reclaimed=b)
+    elif args.op == "changes":
+        from pyspark.sql import functions as F
+
+        from ..ops.changes import CHANGE_TYPE_COL, scan_changes
+
+        assert args.from_snapshot is not None, (
+            "--from-snapshot required for changes"
+        )
+        ch = scan_changes(
+            spark, table, args.from_snapshot, args.to_snapshot
+        )
+        if args.output:
+            ch.write.parquet(args.output)
+            counts = {
+                r[CHANGE_TYPE_COL]: r["n"]
+                for r in spark.read.parquet(args.output)
+                .groupBy(CHANGE_TYPE_COL)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        else:
+            counts = {
+                r[CHANGE_TYPE_COL]: r["n"]
+                for r in ch.groupBy(CHANGE_TYPE_COL)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+        out.update(
+            from_snapshot=args.from_snapshot,
+            to_snapshot=(
+                args.to_snapshot
+                if args.to_snapshot is not None
+                else table.current_snapshot_id
+            ),
+            inserts=counts.get("insert", 0),
+            deletes=counts.get("delete", 0),
+            output=args.output,
+        )
     elif args.op == "reconcile-sigs":
         from ..streaming import reconcile_signature_index
 
