@@ -52,4 +52,14 @@ def load_corpus(spark, args) -> tuple[DataFrame, str]:
         if id_col not in df.columns:
             df = df.withColumn(id_col, F.expr(ROW_IDENTITY_SQL))
         return df, id_col
-    return spark.read.parquet(args.input), args.id_col
+    df = spark.read.parquet(args.input)
+    id_col = args.id_col
+    if id_col not in df.columns and {"repo", "path", "commit"}.issubset(
+        df.columns
+    ):
+        # a changelog (`maintain --op changes`) or table export carries
+        # the natural key but no id column — synthesize the SAME
+        # identity an engine-table scan gets, so a sweep over a CDC
+        # delta composes with signature indexes built from the table
+        df = df.withColumn(id_col, F.expr(ROW_IDENTITY_SQL))
+    return df, id_col

@@ -156,3 +156,58 @@ def test_changes_cli(spark, tmp_path, capsys):
     written = spark.read.parquet(out_path)
     assert written.count() == n_del
     assert set(written.columns) == set(df.columns) | {"_change_type"}
+
+
+def test_incremental_pipeline_changes_sweep_delete(spark, tmp_path, capsys):
+    """The 100-TB loop, end-to-end through both CLIs: signature-index
+    the corpus ONCE, then each delta = CDC changelog -> sweep --against
+    the index -> apply the drop set.  The corpus text is never re-read
+    after the initial indexing."""
+    from engine.jobs.dedup_sweep import main as sweep_main
+    from engine.jobs.maintain import main as maintain_main
+
+    table, df = _mk(spark, tmp_path, n=40, files=2)
+
+    # 1. index the corpus once
+    sigs = str(tmp_path / "sigs.parquet")
+    sweep_main(["--table", table.root, "--method", "minhash",
+                "--emit", "signatures", "--output", sigs])
+    ckpt = Table.load(table.root).current_snapshot_id
+
+    # 2. delta lands: a near-dup of an indexed doc + a fresh doc
+    some = df.orderBy("repo", "path").limit(1).collect()[0]
+    delta = spark.createDataFrame(
+        [("rX", "nd.rs", "c0", some["lang"],
+          some["content"] + " tiny trailing tweak"),
+         ("rX", "fresh.rs", "c0", "rust",
+          " ".join(f"tok{i} tik{i}" for i in range(60)))],
+        df.schema,
+    )
+    merge_into(spark, table, delta)
+    table = Table.load(table.root)
+
+    # 3. CDC changelog since the checkpoint (2 inserts, 0 deletes)
+    chlog = str(tmp_path / "delta.parquet")
+    maintain_main(["--table", table.root, "--op", "changes",
+                   "--from-snapshot", str(ckpt), "--output", chlog])
+
+    # 4. sweep ONLY the delta against the index (load_corpus
+    #    synthesizes the same \x1f identity from the natural key)
+    drops = str(tmp_path / "drops.parquet")
+    sweep_main(["--input", chlog, "--method", "minhash",
+                "--against", sigs, "--emit", "drops",
+                "--output", drops, "--text-col", "content",
+                "--threshold", "0.4"])
+    drop_ids = {r["doc_id"] for r in spark.read.parquet(drops).collect()}
+    assert drop_ids == {"rX\x1fnd.rs\x1fc0"}
+
+    # 5. apply the drop set as a row-level delete
+    maintain_main(["--table", table.root, "--op", "delete",
+                   "--input", drops])
+    paths = {
+        r["path"]
+        for r in Table.load(table.root).scan(spark)
+        .select("path").collect()
+    }
+    assert "nd.rs" not in paths and "fresh.rs" in paths
+    assert Table.load(table.root).total_rows() == 41
