@@ -308,12 +308,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.against:
-        # an id present in BOTH index and batch (overlapping delta,
-        # table swept against its own older index) matches its own
-        # signature — drop the degenerate self-pair
+        # Exclude pairs where both sides are the SAME document.  For
+        # the synthesized \x1f identity (repo\x1fpath\x1fcommit) the
+        # first two fields are the document key, so a new VERSION of
+        # an indexed file is an update, not a near-dup of its own
+        # previous version — without this, the changes->sweep->delete
+        # loop would delete every edited row (the bug the streaming
+        # sink fixed; same exclusion, same altitude).  For ids with no
+        # \x1f, substring_index returns the whole id and this reduces
+        # exactly to the old doc_a != doc_b degenerate-self-pair
+        # filter.
         pairs = _sweep_against(
             spark.read.parquet(args.against), df, args
-        ).filter(F.col("doc_a") != F.col("doc_b"))
+        ).filter(
+            F.substring_index("doc_a", "\x1f", 2)
+            != F.substring_index("doc_b", "\x1f", 2)
+        )
     else:
         pairs = sweep(df, args)
     if args.emit == "pairs":

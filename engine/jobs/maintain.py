@@ -244,35 +244,31 @@ def main(argv: list[str] | None = None) -> int:
 
         from ..ops.changes import CHANGE_TYPE_COL, scan_changes
 
-        assert args.from_snapshot is not None, (
-            "--from-snapshot required for changes"
+        if args.from_snapshot is None:
+            p.error("--op changes requires --from-snapshot")
+        # resolve the range end ONCE and pass it explicitly: a
+        # concurrent commit between the scan and the report would
+        # otherwise make the reported to_snapshot claim changes the
+        # changelog does not contain — and a consumer checkpointing it
+        # as its next --from-snapshot would skip that commit forever
+        to_sid = (
+            args.to_snapshot
+            if args.to_snapshot is not None
+            else table.current_snapshot_id
         )
-        ch = scan_changes(
-            spark, table, args.from_snapshot, args.to_snapshot
-        )
+        ch = scan_changes(spark, table, args.from_snapshot, to_sid)
         if args.output:
-            ch.write.parquet(args.output)
-            counts = {
-                r[CHANGE_TYPE_COL]: r["n"]
-                for r in spark.read.parquet(args.output)
-                .groupBy(CHANGE_TYPE_COL)
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-        else:
-            counts = {
-                r[CHANGE_TYPE_COL]: r["n"]
-                for r in ch.groupBy(CHANGE_TYPE_COL)
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            ch.write.mode("overwrite").parquet(args.output)
+            ch = spark.read.parquet(args.output)
+        counts = {
+            r[CHANGE_TYPE_COL]: r["n"]
+            for r in ch.groupBy(CHANGE_TYPE_COL)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         out.update(
             from_snapshot=args.from_snapshot,
-            to_snapshot=(
-                args.to_snapshot
-                if args.to_snapshot is not None
-                else table.current_snapshot_id
-            ),
+            to_snapshot=to_sid,
             inserts=counts.get("insert", 0),
             deletes=counts.get("delete", 0),
             output=args.output,

@@ -54,6 +54,14 @@ def load_corpus(spark, args) -> tuple[DataFrame, str]:
         return df, id_col
     df = spark.read.parquet(args.input)
     id_col = args.id_col
+    if "_change_type" in df.columns:
+        # a CDC changelog (`maintain --op changes`): only insert-typed
+        # rows are LIVE documents — a delete-typed row is content the
+        # table just removed, and feeding it to a sweep would generate
+        # spurious drops (or, with --emit keep, resurrect deleted rows)
+        df = df.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
     if id_col not in df.columns and {"repo", "path", "commit"}.issubset(
         df.columns
     ):

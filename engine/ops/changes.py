@@ -31,12 +31,11 @@ trigger.  A rollback emits the logical restore (re-appeared rows as
 inserts, undone rows as deletes).
 
 Scale shape: the file diff is driver-side metadata (two manifest
-listings); the anti-joins read ONLY the churned files — cost is
-bounded by the churn between the snapshots, never by table size.  The
-join key is a single fingerprint column (sha256 of the JSON-encoded
-full row), so the shuffle carries the delta's rows once plus a
-32-byte digest per removed-side row; Catalyst broadcasts the smaller
-side when it fits.
+listings); the row diff reads ONLY the churned files — cost is
+bounded by the churn between the snapshots, never by table size.  It
+is ONE full-outer join keyed on a full-row fingerprint (sha256 of the
+JSON-encoded row), so each churned side is scanned, hashed, and
+shuffled exactly once; Catalyst/AQE pick the join strategy.
 
 Semantics note: the diff is SET-based on full-row content.  Exact
 duplicate rows (identical in every column) collapse — a multiplicity
@@ -75,6 +74,13 @@ def changes_file_diff(
     to_sid = (
         table.current_snapshot_id if to_snapshot is None else to_snapshot
     )
+    if from_snapshot > to_sid:
+        # a silently reversed range would swap the insert/delete labels
+        # — a consumer applying the changelog would delete live data
+        raise ValueError(
+            f"changes range is reversed: from_snapshot={from_snapshot} "
+            f"> to_snapshot={to_sid}"
+        )
     from_paths = {e.path for e in table.files(from_snapshot)}
     to_paths = {e.path for e in table.files(to_sid)}
     return FileDiff(
@@ -110,16 +116,25 @@ def scan_changes(
             *[os.path.join(table.root, p) for p in paths]
         )
 
-    added = read(diff.added).withColumn("_fp", fp)
-    removed = read(diff.removed).withColumn("_fp", fp)
-    inserts = (
-        added.join(removed.select("_fp"), "_fp", "left_anti")
-        .drop("_fp")
-        .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+    # ONE full-outer join on the fingerprint instead of two anti-joins:
+    # each churned side is read and hashed exactly once and shuffled
+    # once (the anti-join pair would scan + fingerprint every churned
+    # file twice).  A row present on both sides is unchanged (matched)
+    # and drops out; added-only rows are inserts, removed-only deletes.
+    added = read(diff.added).select(
+        fp.alias("_fp"), F.struct(*cols).alias("_a")
     )
-    deletes = (
-        removed.join(added.select("_fp"), "_fp", "left_anti")
-        .drop("_fp")
-        .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+    removed = read(diff.removed).select(
+        fp.alias("_fp"), F.struct(*cols).alias("_r")
     )
-    return inserts.unionByName(deletes)
+    j = added.join(removed, "_fp", "full_outer").withColumn(
+        CHANGE_TYPE_COL,
+        F.when(F.col("_r").isNull(), F.lit("insert")).when(
+            F.col("_a").isNull(), F.lit("delete")
+        ),
+    )
+    return (
+        j.filter(F.col(CHANGE_TYPE_COL).isNotNull())
+        .select(F.coalesce("_a", "_r").alias("_row"), CHANGE_TYPE_COL)
+        .select("_row.*", CHANGE_TYPE_COL)
+    )

@@ -167,6 +167,13 @@ def test_incremental_pipeline_changes_sweep_delete(spark, tmp_path, capsys):
     from engine.jobs.maintain import main as maintain_main
 
     table, df = _mk(spark, tmp_path, n=40, files=2)
+    # one doc with UNIQUE content (the generated corpus is templated —
+    # docs are mutually 0.75+ similar — so step 6 needs a doc whose
+    # only near-dup in the index can be its own previous version)
+    uniq = " ".join(f"ux{i} uy{i} uz{i}" for i in range(60))
+    merge_into(spark, table, spark.createDataFrame(
+        [("rU", "uniq.rs", "c1", "rust", uniq)], df.schema))
+    table = Table.load(table.root)
 
     # 1. index the corpus once
     sigs = str(tmp_path / "sigs.parquet")
@@ -210,4 +217,60 @@ def test_incremental_pipeline_changes_sweep_delete(spark, tmp_path, capsys):
         .select("path").collect()
     }
     assert "nd.rs" not in paths and "fresh.rs" in paths
-    assert Table.load(table.root).total_rows() == 41
+    assert Table.load(table.root).total_rows() == 42
+
+    # 6. an UPDATE of an indexed doc must flow through the loop
+    #    WITHOUT being dropped: its only index match is its own
+    #    previous version (same (repo, path), excluded), and the
+    #    changelog's delete-typed old version is not a live batch doc
+    table = Table.load(table.root)
+    ckpt2 = table.current_snapshot_id
+    upd = spark.createDataFrame(
+        [("rU", "uniq.rs", "c_v2", "rust", uniq + " edited")],
+        df.schema,
+    )
+    merge_into(spark, table, upd)
+    table = Table.load(table.root)
+    chlog2 = str(tmp_path / "delta2.parquet")
+    maintain_main(["--table", table.root, "--op", "changes",
+                   "--from-snapshot", str(ckpt2), "--output", chlog2])
+    ch2 = spark.read.parquet(chlog2)
+    assert ch2.filter("_change_type = 'insert'").count() == 1
+    assert ch2.filter("_change_type = 'delete'").count() == 1
+    drops2 = str(tmp_path / "drops2.parquet")
+    sweep_main(["--input", chlog2, "--method", "minhash",
+                "--against", sigs, "--emit", "drops",
+                "--output", drops2, "--text-col", "content",
+                "--threshold", "0.4"])
+    assert spark.read.parquet(drops2).count() == 0
+    # --emit keep over the changelog yields ONLY the live insert row,
+    # never the delete-typed old version (which would resurrect it)
+    keep2 = str(tmp_path / "keep2.parquet")
+    sweep_main(["--input", chlog2, "--method", "minhash",
+                "--against", sigs, "--emit", "keep",
+                "--output", keep2, "--text-col", "content",
+                "--threshold", "0.4"])
+    kept = spark.read.parquet(keep2).select("commit").collect()
+    assert [r["commit"] for r in kept] == ["c_v2"]
+
+
+def test_changes_reversed_range_raises(spark, tmp_path):
+    table, _ = _mk(spark, tmp_path, n=20, files=2)
+    compact(spark, table)
+    table = Table.load(table.root)
+    with pytest.raises(ValueError, match="reversed"):
+        scan_changes(spark, table, table.current_snapshot_id, 1)
+
+
+def test_changes_cli_overwrites_existing_output(spark, tmp_path, capsys):
+    from engine.jobs.maintain import main as maintain_main
+
+    table, df = _mk(spark, tmp_path, n=20, files=2)
+    out_path = str(tmp_path / "changelog")
+    for _ in range(2):  # second run must overwrite, not crash
+        rc = maintain_main([
+            "--table", table.root, "--op", "changes",
+            "--from-snapshot", "0", "--output", out_path,
+        ])
+        assert rc == 0
+    assert spark.read.parquet(out_path).count() == df.count()
