@@ -274,3 +274,29 @@ def test_changes_cli_overwrites_existing_output(spark, tmp_path, capsys):
         ])
         assert rc == 0
     assert spark.read.parquet(out_path).count() == df.count()
+
+
+def test_changes_survives_mid_range_expiry(spark, tmp_path):
+    """Only the two ENDPOINT snapshots must be alive: the diff reads
+    their manifests alone, so expiring every snapshot in between (the
+    normal retention policy on a busy table) cannot break an
+    incremental consumer whose checkpoint is still retained."""
+    from engine.ops.expire import expire_snapshots
+
+    table, df = _mk(spark, tmp_path)
+    a = table.current_snapshot_id
+    delete_where(spark, table, "lang = 'go'")
+    update_where(
+        spark, table, {"content": "concat(content, ' t')"}, "lang = 'rust'"
+    )
+    compact(spark, table)
+    table = Table.load(table.root)
+    b = table.current_snapshot_id
+    want = _rows(_full_scan_oracle(spark, table, a, b))
+
+    expire_snapshots(table, retain_ids=[a, b], min_age_s=0)
+    table = Table.load(table.root)
+    assert _rows(scan_changes(spark, table, a, b)) == want
+    n_go = df.filter("lang = 'go'").count()
+    got = scan_changes(spark, table, a, b)
+    assert got.filter("_change_type = 'delete'").count() >= n_go
