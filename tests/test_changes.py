@@ -300,3 +300,30 @@ def test_changes_survives_mid_range_expiry(spark, tmp_path):
     n_go = df.filter("lang = 'go'").count()
     got = scan_changes(spark, table, a, b)
     assert got.filter("_change_type = 'delete'").count() >= n_go
+
+
+def test_changes_generic_schema_array_column(spark, tmp_path):
+    """scan_changes is schema-generic: the to_json row fingerprint must
+    handle non-scalar columns (the signature index: doc_id + 8 longs)."""
+    from engine.streaming import create_signature_table
+
+    s = create_signature_table(str(tmp_path / "sigs"))
+    rows1 = [(f"d{i}", [i, i + 1, i + 2]) for i in range(20)]
+    tbl_append(spark, s, spark.createDataFrame(rows1, s.schema))
+    a = Table.load(s.root).current_snapshot_id
+    # replace one signature's fp (delete + re-append = an update)
+    delete_where(spark, Table.load(s.root), "doc_id = 'd3'")
+    tbl_append(
+        spark, Table.load(s.root),
+        spark.createDataFrame([("d3", [99, 98, 97])], s.schema),
+    )
+    s = Table.load(s.root)
+    ch = scan_changes(spark, s, a)
+    got = {
+        (r["doc_id"], tuple(r["fp"]), r["_change_type"])
+        for r in ch.collect()
+    }
+    assert got == {
+        ("d3", (3, 4, 5), "delete"),
+        ("d3", (99, 98, 97), "insert"),
+    }
