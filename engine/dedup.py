@@ -299,7 +299,7 @@ def cosine_near_dup_lsh(
 
 
 def chunked_pair_candidates(
-    bands: DataFrame, cap: int = 256, verify=None
+    bands: DataFrame, cap: int = 256, verify=None, first_band=None
 ) -> DataFrame:
     """Within-bucket candidate pairs with a DEGENERATE-BUCKET BOUND.
 
@@ -309,6 +309,18 @@ def chunked_pair_candidates(
     documents on the skewed test corpus, most failing the exact check),
     so verifying map-side means only survivors pay the dedup shuffle —
     the candidate relation itself never crosses a stage boundary.
+
+    ``first_band``: optional ``(fa_col, fb_col) -> Column`` giving the
+    SMALLEST band index on which the two fingerprints agree.  A pair
+    appears exactly once per matching band (each doc sits in one chunk
+    of one bucket per band, and the triangle join visits each chunk
+    pair once), so keeping only rows where ``b == first_band(fa, fb)``
+    emits every pair EXACTLY ONCE and the cross-band ``distinct()`` —
+    the largest shuffle of this operator (r6 measurement: the verified
+    pair relation is several times the final pair set) — is skipped
+    entirely.  The output is identical: verify columns are
+    deterministic functions of (fa, fb), so the kept copy equals the
+    deduped copy.
 
     Input: a banded-LSH relation ``(doc_id, fp, b, bv)`` (one row per
     document per band).  Output: every unordered within-bucket pair as
@@ -360,8 +372,8 @@ def chunked_pair_candidates(
         & (F.col("tc") == F.col("rc")),
     )
     pairs = (
-        joined.select(F.explode("ms").alias("a"), "rms", "c", "rc")
-        .select("a", F.explode("rms").alias("x"), "c", "rc")
+        joined.select("b", F.explode("ms").alias("a"), "rms", "c", "rc")
+        .select("b", "a", F.explode("rms").alias("x"), "c", "rc")
         # same chunk: upper triangle by doc_id; cross chunk: every pair
         .filter(
             (F.col("c") < F.col("rc"))
@@ -369,6 +381,7 @@ def chunked_pair_candidates(
         )
     )
     raw = pairs.select(
+        "b",
         F.least("a.doc_id", "x.doc_id").alias("doc_a"),
         F.greatest("a.doc_id", "x.doc_id").alias("doc_b"),
         # fp follows its doc so (doc_a, fa) stay aligned either way
@@ -379,6 +392,12 @@ def chunked_pair_candidates(
         .otherwise(F.col("a.fp"))
         .alias("fb"),
     )
+    if first_band is not None:
+        once = raw.filter(
+            F.col("b") == first_band(F.col("fa"), F.col("fb"))
+        ).drop("b")
+        return verify(once) if verify is not None else once
+    raw = raw.drop("b")
     if verify is not None:
         raw = verify(raw)
     return raw.distinct()
@@ -452,11 +471,35 @@ def hamming_pairs_from_fps(
             F.col("hamming") <= max_hamming
         )
 
+    # smallest band index on which two fingerprints agree — drives the
+    # exactly-once emission in chunked_pair_candidates (no cross-band
+    # distinct).  F.least skips NULLs, and a candidate always agrees on
+    # the band it was bucketed by, so the result is never NULL.
+    mask = (1 << band_width) - 1
+
+    def _first_band(fa, fb):
+        return F.least(
+            *[
+                F.when(
+                    F.shiftrightunsigned(fa, b * band_width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    == F.shiftrightunsigned(fb, b * band_width).bitwiseAND(
+                        F.lit(mask)
+                    ),
+                    F.lit(b),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
     if not collapse_fps:
         bands = _band_explode(
             fp_df.select("doc_id", "fp"), n_bands, band_width
         )
-        return chunked_pair_candidates(bands, cap=cap, verify=_verify)
+        return chunked_pair_candidates(
+            bands, cap=cap, verify=_verify, first_band=_first_band
+        )
 
     # persisted NOW (the fingerprint subtree above it is the expensive
     # part and every branch below reads it), registered for eviction
@@ -466,14 +509,24 @@ def hamming_pairs_from_fps(
     # distinct fps, banded; the fp doubles as chunked_pair_candidates'
     # doc_id so the triangle join pairs DISTINCT FINGERPRINTS (equal
     # fps cannot pair — doc_a < doc_b over fps — so the verified
-    # distances are 1..max_hamming)
+    # distances are 1..max_hamming).  With first_band the fp-pair
+    # relation is exactly-once by construction, so nothing downstream
+    # needs a distinct: the sf1 corpus measures 29M raw fp-bucket pairs
+    # -> 223k verified fp pairs, and the expansion joins below are
+    # output-bounded (they emit exactly the final doc pairs).
     fpu = docs.select(F.col("fp").alias("doc_id"), "fp").distinct()
     fpairs = chunked_pair_candidates(
-        _band_explode(fpu, n_bands, band_width), cap=cap, verify=_verify
+        _band_explode(fpu, n_bands, band_width),
+        cap=cap,
+        verify=_verify,
+        first_band=_first_band,
     )
     track_persist(docs)
 
-    # identical-fp doc pairs: hamming 0 by construction — one equi-join
+    # identical-fp doc pairs: hamming 0 by construction — one
+    # output-bounded equi-join on fp (AQE broadcasts the build side at
+    # bench scale; at index scale it is a plain shuffle on fp, still
+    # output-bounded)
     l = docs.select(F.col("doc_id").alias("da"), "fp")
     r = docs.select(F.col("doc_id").alias("db"), "fp")
     h0 = (
@@ -641,7 +694,23 @@ def minhash_near_dups(
             F.col("est_jaccard") >= threshold
         )
 
-    return chunked_pair_candidates(bands, cap=cap, verify=_verify)
+    def _first_band(fa, fb):
+        # smallest signature component index on which the pair agrees —
+        # exactly-once emission, no cross-band distinct (F.least skips
+        # the NULL non-matching whens; a candidate always matches >= 1)
+        return F.least(
+            *[
+                F.when(
+                    F.element_at(fa, b + 1) == F.element_at(fb, b + 1),
+                    F.lit(b),
+                )
+                for b in range(n)
+            ]
+        )
+
+    return chunked_pair_candidates(
+        bands, cap=cap, verify=_verify, first_band=_first_band
+    )
 
 
 @F.pandas_udf(T.DoubleType())
@@ -738,12 +807,28 @@ def simhash_near_dups_against(
         F.col("doc_id").alias("doc_b"), F.col("fp").alias("fb"), "b", "bv"
     )
     hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    mask = (1 << width) - 1
+    first_band = F.least(
+        *[
+            F.when(
+                F.shiftrightunsigned(F.col("fa"), b * width).bitwiseAND(
+                    F.lit(mask)
+                )
+                == F.shiftrightunsigned(F.col("fb"), b * width).bitwiseAND(
+                    F.lit(mask)
+                ),
+                F.lit(b),
+            )
+            for b in range(n_bands)
+        ]
+    )
     return (
         ib.join(bb, ["b", "bv"])
+        # a pair meets once per shared band; keeping only the FIRST
+        # shared band emits it exactly once — no cross-band distinct
+        .filter(F.col("b") == first_band)
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        # hamming is deterministic integer arithmetic — row distinct safe
-        .distinct()
     )
 
 
@@ -795,14 +880,25 @@ def minhash_near_dups_against(
         )
         / F.lit(float(N_MINHASH_BANDS))
     ).alias("est_jaccard")
+    first_band = F.least(
+        *[
+            F.when(
+                F.element_at(F.col("fa"), b + 1)
+                == F.element_at(F.col("fb"), b + 1),
+                F.lit(b),
+            )
+            for b in range(N_MINHASH_BANDS)
+        ]
+    )
     return (
         ib.join(bb, ["b", "bv"])
+        # a pair meets once per matching signature component; keeping
+        # only the FIRST one emits it exactly once — no cross-band
+        # distinct (est is a deterministic function of fa/fb, so the
+        # kept copy equals what the distinct used to keep)
+        .filter(F.col("b") == first_band)
         .select("doc_a", "doc_b", est)
         .filter(F.col("est_jaccard") >= threshold)
-        # est is exact rational arithmetic over the same two signature
-        # arrays on every band the pair meets in, so row-level distinct
-        # is safe here (unlike the BLAS cosine case)
-        .distinct()
     )
 
 

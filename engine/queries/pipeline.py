@@ -526,17 +526,20 @@ def dedup_simhash(spark, sf_dir):
     # (shared with the simhash_near_dups job operator): degenerate band
     # buckets are chunk-bounded through the triangle join (r4 VERDICT
     # Wrong #3) and the Hamming verify runs map-side so the
-    # over-generated candidate relation (2.3M pairs from 5k docs here)
-    # never shuffles.  The distinct-fp collapse variant
-    # (collapse_fps=True — 3.5x fewer candidates, for
-    # exact-duplication-heavy corpora) measured SLOWER on this
-    # low-multiplicity corpus (8.5 s vs 4.9 s, identical output), so
-    # the query keeps the direct shape; see the helper's docstring.
+    # over-generated candidate relation never shuffles.  Round 6 shape:
+    # collapse_fps=True + first-band exactly-once emission — all pair
+    # work runs over DISTINCT fingerprints (sf1: 32,645 fps vs 50,000
+    # docs -> 29M raw bucket pairs instead of 294M; 223k verified fp
+    # pairs) and the final 27.4M doc pairs stream out of two
+    # output-bounded expansion joins with NO cross-band distinct
+    # (bench_extra.py simhash_ab: 21.1 s -> 2.7 s noop at sf1, 0.59 ->
+    # 0.46 s at sf0.1, identical pair-set checksums at both scales).
     # tests/test_dedup.py pins the exact pair set and the bound.
     from engine.dedup import hamming_pairs_from_fps
 
     cand = hamming_pairs_from_fps(
-        fp, N_SIMHASH_BANDS, SIMHASH_BAND_BITS, N_SIMHASH_BANDS - 1, cap=256
+        fp, N_SIMHASH_BANDS, SIMHASH_BAND_BITS, N_SIMHASH_BANDS - 1, cap=256,
+        collapse_fps=True,
     )
     return cand.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
 
