@@ -55,16 +55,27 @@ def main() -> None:
     spark.sparkContext.setJobDescription(case)
 
     if case.startswith("q_"):
-        # q_<name> — noop-sink the declared query; q_<name>_collect — collect it.
-        name = case[2:]
-        n = 2
-        if name.endswith("_collect"):
-            name = name[: -len("_collect")]
-            df = QUERIES[name](spark, sf_dir)
-            timed(case, lambda: df.collect(), n=n)
-        else:
-            df = QUERIES[name](spark, sf_dir)
-            timed(case, lambda: noop(df), n=n)
+        # q_<name>[,<name>...] — noop-sink each declared query in one
+        # session; a name ending in `:collect` times the bench's
+        # methodology (rebuild the plan via fn(), then df.collect() —
+        # rebuilding matters: operators persist intermediates that a
+        # second collect of the SAME df would reuse, which bench.py's
+        # per-pass fn() calls do not).
+        for name in case[2:].split(","):
+            if name.endswith(":collect"):
+                qn = name[: -len(":collect")]
+
+                def run(qn=qn):
+                    QUERIES[qn](spark, sf_dir).collect()
+
+                timed(f"{qn}:collect", run)
+            else:
+                qn = name
+
+                def run(qn=qn):
+                    noop(QUERIES[qn](spark, sf_dir))
+
+                timed(qn, run)
         return
 
     if case == "simhash_stages":

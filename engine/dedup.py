@@ -681,6 +681,11 @@ def minhash_near_dups(
     n = N_MINHASH_BANDS
 
     def _verify(raw: DataFrame) -> DataFrame:
+        # zip_with formulation deliberately kept: an unrolled
+        # 8x element_at comparison sum measured 2x SLOWER in an
+        # interleaved A/B at sf1 (the fa/fb orientation `when` trees
+        # get inlined into every element access, while zip_with
+        # evaluates each side once into an array)
         est = (
             F.size(
                 F.filter(
@@ -694,23 +699,12 @@ def minhash_near_dups(
             F.col("est_jaccard") >= threshold
         )
 
-    def _first_band(fa, fb):
-        # smallest signature component index on which the pair agrees —
-        # exactly-once emission, no cross-band distinct (F.least skips
-        # the NULL non-matching whens; a candidate always matches >= 1)
-        return F.least(
-            *[
-                F.when(
-                    F.element_at(fa, b + 1) == F.element_at(fb, b + 1),
-                    F.lit(b),
-                )
-                for b in range(n)
-            ]
-        )
-
-    return chunked_pair_candidates(
-        bands, cap=cap, verify=_verify, first_band=_first_band
-    )
+    # NOTE: no first_band here — unlike the simhash paths, the minhash
+    # verify leaves only a tiny survivor set (sf1: 2.7k pairs from 8.5M
+    # candidates), so the cross-band distinct is nearly free while the
+    # 8-comparison first-band filter would run on every RAW candidate
+    # (r6 A/B: first_band 4.18 s vs distinct 3.76 s at sf1).
+    return chunked_pair_candidates(bands, cap=cap, verify=_verify)
 
 
 @F.pandas_udf(T.DoubleType())
@@ -907,6 +901,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iters: int = 50,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation: every node's label converges to the smallest
@@ -933,11 +928,16 @@ def connected_components(
     intermediates must survive until the iterations execute them.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = _persist_tracked(
-        fwd.union(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # ``pairs_unique=True``: the caller guarantees each undirected pair
+    # appears once with id_a < id_b (the exactly-once contract of the
+    # near-dup operators above) — the forward and reversed halves are
+    # then disjoint and individually duplicate-free, so the symmetrize
+    # needs no distinct shuffle.  Duplicate edges would not change the
+    # fixpoint (min-aggregate), only the per-round row count.
+    edges = _persist_tracked(sym if pairs_unique else sym.distinct())
     # Init folds the first propagation round in: comp_0 = min(id, min
     # neighbor) instead of id — same monotone invariant (comp_i = min id
     # within i+1 hops), one fewer join+aggregate+count round per run.
@@ -947,6 +947,25 @@ def connected_components(
         F.col("src").alias("id"),
         F.least(F.col("src"), F.col("nmin")).alias("comp"),
     ).persist()
+    # Convergence by MONOTONE LABEL SUM (numeric ids): comp_{i+1}(id) =
+    # min(comp_i(id), incoming) <= comp_i(id) for every node and the
+    # node set is fixed, so sum(comp) is non-increasing and equality
+    # between rounds holds iff no label changed.  This replaces the old
+    # per-round new-vs-old JOIN with a single aggregate over the new
+    # labels — the same one job per round, minus a join of two label
+    # relations (decimal sum: |ids| * max_id stays far inside 38
+    # digits).  Non-numeric (e.g. string) ids have no exact sum, so
+    # they keep the join-based changed-count — exactness over speed.
+    numeric = isinstance(
+        labels.schema["comp"].dataType, T.NumericType
+    )
+
+    def _sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev = _sum(labels) if numeric else None
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -957,14 +976,19 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        if numeric:
+            cur = _sum(new)
+            converged = cur == prev
+            prev = cur
+        else:
+            converged = (
+                new.join(labels.withColumnRenamed("comp", "old"), "id")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            ) == 0
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if converged:
             track_persist(labels)
             return labels
     labels.unpersist()

@@ -333,7 +333,11 @@ def main(argv: list[str] | None = None) -> int:
             from ..dedup import connected_components
 
             drops = (
-                connected_components(pairs)
+                # self-sweep pairs are exactly-once (first-band
+                # emission); against-sweep pairs may contain reversed
+                # duplicates when a doc sits in both index and batch,
+                # so only the self-sweep skips the edge distinct
+                connected_components(pairs, pairs_unique=not args.against)
                 .filter(F.col("id") != F.col("comp"))
                 .select(F.col("id").alias(args.id_col_resolved))
             )

@@ -85,8 +85,18 @@ def prepare_training_corpus(
         )
         >= 1
     )
+    # punctuation count via translate (char-table lookup) — byte-
+    # identical to regexp_replace over the same 63-char class, no regex
+    # engine per row (the funnel oracle keeps the regex formulation)
     punct = (
-        F.length(F.regexp_replace(tc, "[a-zA-Z0-9 ]", "")).cast("double")
+        F.length(
+            F.translate(
+                tc,
+                "abcdefghijklmnopqrstuvwxyz"
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+                "",
+            )
+        ).cast("double")
         / F.length(tc)
     )
     base = (
@@ -111,7 +121,8 @@ def prepare_training_corpus(
     )
     if drop_policy == "components":
         drops = (
-            connected_components(pairs, "doc_a", "doc_b")
+            # pairs_unique: minhash_near_dups emits exactly-once pairs
+            connected_components(pairs, "doc_a", "doc_b", pairs_unique=True)
             .filter(F.col("id") != F.col("comp"))
             .select(F.col("id").alias(id_col))
         )

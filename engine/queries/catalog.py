@@ -41,6 +41,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan a table, spreading a narrow (few-file) scan across the
+    cluster before compute-heavy per-row work (regex extraction, sha256
+    per row, md5 per token/shingle, HOF dot products).  At bench scale
+    several tables are ONE small parquet file — a single input split
+    serializes the whole per-row pipeline on one core (r6 measurement:
+    the regex-heavy document queries spent 2-3 s single-threaded at
+    sf1).  At 100 TB the scan already has thousands of splits and this
+    is a no-op — the repartition only fires when the source is narrower
+    than the cluster."""
+    df = t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < p:
+        df = df.repartition(p)
+    return df
+
+
 # =========================================================================
 # Aggregations (SURVEY §2.5)
 # =========================================================================
@@ -523,14 +540,18 @@ def rrf_fusion(spark, sf_dir):
         .select("doc_id", "rnk")
     )
     k1, b = 1.2, 0.75
-    kw_tf = d.select(
+    # the keyword leg runs a word-boundary regex + split over every
+    # document — spread the narrow single-file scan first (the vec leg
+    # above touches only doc_id/n_chars and keeps the plain scan)
+    dw = t_wide(spark, sf_dir, "documents")
+    kw_tf = dw.select(
         "doc_id",
         F.size(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\bjoin\b"), F.lit(0))
         ).alias("tf"),
         F.size(F.split("text", " ")).alias("dl"),
     )
-    avgdl = d.select(F.size(F.split("text", " ")).alias("dl")).agg(
+    avgdl = dw.select(F.size(F.split("text", " ")).alias("dl")).agg(
         F.avg("dl").alias("avgdl")
     )
     bm25 = (F.col("tf") * (k1 + 1)) / (

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .catalog import q, t
+from .catalog import q, t, t_wide
 
 # -------------------------------------------------------------------------
 # C2: sliding-window chunker (size 30, step 20, last partial kept)
@@ -340,7 +340,7 @@ def hash_cache_digest(spark, sf_dir):
     per-key state exceeds three scalars regardless of key skew
     (pinned by tests/test_queries.py::test_hash_cache_digest_partial_agg).
     """
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     entry = F.concat_ws(
         "", F.col("doc_id").cast("string"), F.lit(":"), F.sha2("text", 256)
     )
@@ -481,8 +481,9 @@ def filter_gitignore(spark, sf_dir):
     rule (a negation cannot re-include under an excluded directory).
     engine/gitignore.py compiles the pattern list once on the driver;
     per row the plan evaluates prefix paths via transform/exists HOFs —
-    no UDF, no shuffle, filter fully pushed into the scan stage."""
-    d = t(spark, sf_dir, "documents")
+    no UDF, no shuffle beyond the narrow-scan spread, the predicate
+    evaluated in the post-spread stage."""
+    d = t_wide(spark, sf_dir, "documents")
     ext = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("py"))
         .when(F.col("doc_id") % 3 == 1, F.lit("md"))

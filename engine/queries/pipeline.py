@@ -19,23 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .catalog import q, t
-
-
-def t_wide(spark, sf_dir, name):
-    """Scan a table, spreading a narrow (few-file) scan across the
-    cluster before compute-heavy per-row work (md5 per token/shingle,
-    60-column vote aggregates).  At bench scale the documents table is
-    ONE small parquet file — a single input split serializes the whole
-    hash pipeline on one core (measured 5.7 s -> 0.9 s on
-    dedup_minhash_bands at sf0.1).  At 100 TB the scan already has
-    thousands of splits and this is a no-op — the repartition only fires
-    when the source is narrower than the cluster."""
-    df = t(spark, sf_dir, name)
-    p = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < p:
-        df = df.repartition(p)
-    return df
+from .catalog import q, t, t_wide  # t_wide: shared spread-narrow-scan helper
 
 # =========================================================================
 # Chunking (SURVEY §2.3 — C1 fixed-size groups, 1-based offsets)
@@ -61,7 +45,7 @@ CHUNK = 50
 def chunk_fixed_size(spark, sf_dir):
     """C1: split into ceil(n/50) groups of 50 units, 1-based positions —
     pure SQL posexplode/groupBy, no UDF."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
     ).withColumn("pos", F.col("pos0") + 1)
@@ -297,14 +281,21 @@ def dedup_minhash_pairs(spark, sf_dir):
     BEFORE the cross-band distinct so only survivors shuffle.  The
     oracle counts matching bands per pair directly — an independent
     formulation of the same estimator."""
-    from engine.dedup import minhash_near_dups
+    from engine.dedup import minhash_near_dups, track_persist
 
     d = t_wide(spark, sf_dir, "documents")
-    return (
+    # persist the exactly-once pair relation before the global sort: a
+    # range sort executes its child TWICE (partition-bound sampling,
+    # then the shuffle) — without the old distinct's shuffle boundary
+    # to reuse, the sampling pass would re-run the whole candidate
+    # machinery (registered for eviction at the next operator call)
+    pairs = track_persist(
         minhash_near_dups(d, "doc_id", "text", threshold=0.5)
-        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .select("doc_a", "doc_b",
+                F.round("est_jaccard", 6).alias("est_jaccard"))
+        .persist()
     )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 @q(
@@ -340,7 +331,10 @@ def dedup_connected_components(spark, sf_dir):
     d = t_wide(spark, sf_dir, "documents")
     pairs = minhash_near_dups(d, "doc_id", "text", threshold=0.5)
     return (
-        connected_components(pairs)
+        # pairs_unique: minhash_near_dups emits each pair exactly once
+        # (first-band emission), so the edge symmetrize skips its
+        # distinct
+        connected_components(pairs, pairs_unique=True)
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
@@ -537,11 +531,19 @@ def dedup_simhash(spark, sf_dir):
     # tests/test_dedup.py pins the exact pair set and the bound.
     from engine.dedup import hamming_pairs_from_fps
 
+    from engine.dedup import track_persist
+
     cand = hamming_pairs_from_fps(
         fp, N_SIMHASH_BANDS, SIMHASH_BAND_BITS, N_SIMHASH_BANDS - 1, cap=256,
         collapse_fps=True,
     )
-    return cand.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
+    # persist before the global sort: the range sort's sampling pass
+    # would otherwise re-run the expansion joins (the sort child is no
+    # longer a reusable shuffle boundary once the distinct is gone)
+    pairs = track_persist(
+        cand.select("doc_a", "doc_b", "hamming").persist()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 COSINE_NEARDUP_THRESHOLD = 0.42
@@ -696,7 +698,10 @@ def cosine_topk(spark, sf_dir):
     a correctness superset.)"""
     e = t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    # the scoring leg evaluates a 64-element HOF dot per row — spread
+    # the single-file scan; the 1-row query-vector leg stays plain
+    ew = t_wide(spark, sf_dir, "embeddings")
+    j = ew.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
 
     def dot(a, b):
         return F.aggregate(
@@ -855,11 +860,22 @@ def token_count(spark, sf_dir):
     """,
 )
 def quality_score(spark, sf_dir):
-    """Quality scoring: punctuation ratio, stopword ratio, length gate."""
-    d = t(spark, sf_dir, "documents")
-    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast(
-        "double"
-    ) / F.length("text")
+    """Quality scoring: punctuation ratio, stopword ratio, length gate.
+
+    punct_ratio counts removed characters with ``translate`` (a plain
+    char-table lookup) instead of ``regexp_replace`` over the same
+    63-char class — byte-identical result, no regex engine in the inner
+    loop; the oracle keeps the regex formulation as the independent
+    cross-check."""
+    d = t_wide(spark, sf_dir, "documents")
+    punct = F.length(
+        F.translate(
+            "text",
+            "abcdefghijklmnopqrstuvwxyz"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ",
+            "",
+        )
+    ).cast("double") / F.length("text")
     stop = F.size(
         F.regexp_extract_all("text", F.lit(r"\b(the|a|of|and|is|in)\b"), F.lit(0))
     ).cast("double") / F.size(F.split("text", " "))

@@ -33,7 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..glob import glob_filter_expr, oracle_regex
-from .catalog import q, t
+from .catalog import q, t, t_wide
 
 # =========================================================================
 # 1. BM25 (k1=1.2, b=0.75 — Tantivy/Lucene defaults)
@@ -80,7 +80,7 @@ def bm25_topk(spark, sf_dir):
     1-row broadcast, partial+final sum per doc.  Per-term contributions
     are cast to DECIMAL(28,12) before summing so the sum is exact and
     order-insensitive (cross-engine float determinism)."""
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     docs = d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
@@ -548,7 +548,7 @@ def search_hybrid(spark, sf_dir):
     global window); fusion/hydration operate on <=2*45 rows (broadcast
     joins); the ladder is a driver loop of cheap filters over the tiny
     persisted fused set."""
-    d = t(spark, sf_dir, "documents").filter(F.col("source").isin(HY_ROOTS))
+    d = t_wide(spark, sf_dir, "documents").filter(F.col("source").isin(HY_ROOTS))
 
     vec_order = [F.desc("vector_score"), F.asc("doc_id")]
     vs = 1.0 / (1.0 + F.abs(F.col("n_chars") - 300) / 100.0)

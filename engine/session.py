@@ -7,6 +7,7 @@ partition sizing) is applied everywhere identically.
 
 from __future__ import annotations
 
+import gc
 import os
 
 from pyspark.sql import SparkSession
@@ -108,6 +109,20 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Driver-side PYTHON GC tuning, the CPython analog of the JVM block
+    # above.  df.collect() of an N-row result materializes N Row objects
+    # through the pickle path; with CPython's default generational
+    # thresholds (700, 10, 10) a multi-million-row collect triggers tens
+    # of thousands of generational collections whose full-heap passes
+    # rescan every already-collected Row — measured on a 27.4M-row
+    # collect at sf1: 145-158 s with defaults (degrading pass over pass
+    # as the heap grows), 73-84 s with a 4M-allocation gen0 threshold,
+    # flat across passes.  freeze() moves Spark's own startup objects to
+    # the permanent generation so they are never rescanned.  Cyclic
+    # garbage (py4j wrappers) is still collected, just in far larger
+    # batches — this tunes collection CADENCE, not semantics.
+    gc.freeze()
+    gc.set_threshold(4_000_000, 100, 100)
     return spark
 
 
