@@ -37,6 +37,20 @@ def resolve_text_col(args) -> None:
         args.text_col = "content" if args.table else "text"
 
 
+def _spread_narrow_scan(spark, df: DataFrame) -> DataFrame:
+    """Spread a narrow (few-file) scan across the cluster before the
+    compute-heavy per-row work every sweep does (md5 per shingle,
+    simhash votes, LSH matmuls).  A single-file corpus otherwise runs
+    the whole hash pipeline on ONE core (r6 measurement: the minhash
+    sweep CLI took 39.6 s at sf1 vs ~6 s spread — the identical query
+    path already spreads via t_wide).  At real scale the scan has more
+    splits than cores and this is a no-op."""
+    p = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < p:
+        df = df.repartition(p)
+    return df
+
+
 def load_corpus(spark, args) -> tuple[DataFrame, str]:
     """Return ``(input df, id column name)`` for the parsed args.
 
@@ -47,12 +61,12 @@ def load_corpus(spark, args) -> tuple[DataFrame, str]:
     if args.table:
         from ..tablefmt import Table
 
-        df = Table.load(args.table).scan(spark)
+        df = _spread_narrow_scan(spark, Table.load(args.table).scan(spark))
         id_col = args.id_col
         if id_col not in df.columns:
             df = df.withColumn(id_col, F.expr(ROW_IDENTITY_SQL))
         return df, id_col
-    df = spark.read.parquet(args.input)
+    df = _spread_narrow_scan(spark, spark.read.parquet(args.input))
     id_col = args.id_col
     if "_change_type" in df.columns:
         # a CDC changelog (`maintain --op changes`): only insert-typed
