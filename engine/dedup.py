@@ -960,25 +960,12 @@ def connected_components(
         F.col("src").alias("id"),
         F.least(F.col("src"), F.col("nmin")).alias("comp"),
     ).persist()
-    # Convergence by MONOTONE LABEL SUM (numeric ids): comp_{i+1}(id) =
-    # min(comp_i(id), incoming) <= comp_i(id) for every node and the
-    # node set is fixed, so sum(comp) is non-increasing and equality
-    # between rounds holds iff no label changed.  This replaces the old
-    # per-round new-vs-old JOIN with a single aggregate over the new
-    # labels — the same one job per round, minus a join of two label
-    # relations (decimal sum: |ids| * max_id stays far inside 38
-    # digits).  Non-numeric (e.g. string) ids have no exact sum, so
-    # they keep the join-based changed-count — exactness over speed.
-    numeric = isinstance(
-        labels.schema["comp"].dataType, T.NumericType
-    )
-
-    def _sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev = _sum(labels) if numeric else None
+    # Per-round convergence stays the r5 shape — the changed-count JOIN
+    # folded into the one job that materializes the new labels.  (An
+    # aggregate-only monotone-label-sum check was tried in r6: it needs
+    # one extra job to seed the init sum, which measurably LOST to the
+    # fused join at bench scale where per-job overhead dominates tiny
+    # cached label frames.)
     for _ in range(max_iters):
         nbr = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -989,19 +976,14 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        if numeric:
-            cur = _sum(new)
-            converged = cur == prev
-            prev = cur
-        else:
-            converged = (
-                new.join(labels.withColumnRenamed("comp", "old"), "id")
-                .filter(F.col("comp") != F.col("old"))
-                .count()
-            ) == 0
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
         labels.unpersist()
         labels = new
-        if converged:
+        if changed == 0:
             track_persist(labels)
             return labels
     labels.unpersist()

@@ -281,21 +281,17 @@ def dedup_minhash_pairs(spark, sf_dir):
     BEFORE the cross-band distinct so only survivors shuffle.  The
     oracle counts matching bands per pair directly — an independent
     formulation of the same estimator."""
-    from engine.dedup import minhash_near_dups, track_persist
+    from engine.dedup import minhash_near_dups
 
     d = t_wide(spark, sf_dir, "documents")
-    # persist the exactly-once pair relation before the global sort: a
-    # range sort executes its child TWICE (partition-bound sampling,
-    # then the shuffle) — without the old distinct's shuffle boundary
-    # to reuse, the sampling pass would re-run the whole candidate
-    # machinery (registered for eviction at the next operator call)
-    pairs = track_persist(
+    # no persist before the sort: the operator's cross-band distinct is
+    # a shuffle boundary the range sampler reuses (r6 measured a
+    # persist here as pure overhead at sf0.1)
+    return (
         minhash_near_dups(d, "doc_id", "text", threshold=0.5)
-        .select("doc_a", "doc_b",
-                F.round("est_jaccard", 6).alias("est_jaccard"))
-        .persist()
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
     )
-    return pairs.orderBy("doc_a", "doc_b")
 
 
 @q(
@@ -531,19 +527,17 @@ def dedup_simhash(spark, sf_dir):
     # tests/test_dedup.py pins the exact pair set and the bound.
     from engine.dedup import hamming_pairs_from_fps
 
-    from engine.dedup import track_persist
-
     cand = hamming_pairs_from_fps(
         fp, N_SIMHASH_BANDS, SIMHASH_BAND_BITS, N_SIMHASH_BANDS - 1, cap=256,
         collapse_fps=True,
     )
-    # persist before the global sort: the range sort's sampling pass
-    # would otherwise re-run the expansion joins (the sort child is no
-    # longer a reusable shuffle boundary once the distinct is gone)
-    pairs = track_persist(
-        cand.select("doc_a", "doc_b", "hamming").persist()
-    )
-    return pairs.orderBy("doc_a", "doc_b")
+    # No persist/exchange inserted before the global sort: the range
+    # sampler does re-run the expansion joins, but they are broadcast
+    # joins over the (persisted) docs relation and recomputing them
+    # measured cheaper than materializing a 27.4M-row cache (r6 A/B at
+    # sf1: none 112.4 s, persist 115.8 s, repartition 149.8 s; parity
+    # at sf0.1).
+    return cand.select("doc_a", "doc_b", "hamming").orderBy("doc_a", "doc_b")
 
 
 COSINE_NEARDUP_THRESHOLD = 0.42
