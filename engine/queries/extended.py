@@ -339,8 +339,12 @@ def hash_cache_digest(spark, sf_dir):
     emits a partial (map-side) HashAggregate before the shuffle and no
     per-key state exceeds three scalars regardless of key skew
     (pinned by tests/test_queries.py::test_hash_cache_digest_partial_agg).
+
+    Plain scan deliberately: the per-row work (one sha256 + one md5
+    over ~300-char strings) is too cheap to amortize a spread shuffle —
+    interleaved A/B at sf1: narrow 0.35 s vs t_wide 0.53 s.
     """
-    d = t_wide(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents")
     entry = F.concat_ws(
         "", F.col("doc_id").cast("string"), F.lit(":"), F.sha2("text", 256)
     )
